@@ -1,0 +1,169 @@
+"""IONEX ASCII write -> parse reciprocity (the reference's own gate,
+/root/reference/src/tests/toolkit.rs:10-50; FIXTURES.md §2.6-2.7)."""
+
+import numpy as np
+import pytest
+
+from ionex_spark.core.ionex_io import (
+    IonexHeader,
+    grids_to_long,
+    parse_ionex,
+    read_ionex_file,
+    write_ionex,
+    write_ionex_file,
+    _fmt_line,
+)
+from ionex_spark.core.linspace import ckmg_grid
+from ionex_spark.core import synth
+from ionex_spark.core.kernels import bilinear
+
+
+def make_header(n_epochs=3):
+    g = ckmg_grid()
+    return IonexHeader(
+        grid=g,
+        interval_s=synth.SAMPLING_S,
+        epoch_first=synth.EPOCH0,
+        epoch_last=synth.EPOCH0 + np.timedelta64((n_epochs - 1) * 3600, "s"),
+        number_of_maps=n_epochs,
+        exponent=synth.FILE_EXP,
+        comments=["synthetic worldwide map"],
+    )
+
+
+def make_grids(n_epochs=3, field="int"):
+    slot, lat_i, lon_i, lat, lon, tecu_q = synth.tec_points_arrays(n_epochs, field)
+    # pack into grid order: row 0 = northernmost (grid lat starts at 87.5)
+    dense = np.full((n_epochs, synth.GRID_NLAT, synth.GRID_NLON), 9999, np.int64)
+    dense[slot, synth.GRID_NLAT - 1 - lat_i, lon_i] = tecu_q
+    epochs = synth.EPOCH0 + np.arange(n_epochs) * np.timedelta64(3600, "s")
+    return epochs.astype("datetime64[s]"), dense
+
+
+def test_fmt_line_60col():
+    # comment wrap goldens (src/lib.rs:1329-1374)
+    for desc in ["test", "just a basic comment", "just another lengthy comment"]:
+        lines = _fmt_line(desc, "COMMENT")
+        assert len(lines) == 1
+        assert len(lines[0]) >= 60
+        assert lines[0][60:] == "COMMENT"
+    long = "x" * 130
+    lines = _fmt_line(long, "COMMENT")
+    assert len(lines) == -(-130 // 60) == 3
+    assert all(l[60:] == "COMMENT" for l in lines)
+
+
+def test_epoch_line_format_and_parse():
+    from ionex_spark.core.ionex_io import _fmt_epoch_body, _parse_epoch
+
+    e = np.datetime64("2022-01-02T00:00:00")
+    body = _fmt_epoch_body(e)
+    assert body.startswith("  2022     1     2     0     0     0")
+    assert _parse_epoch(body) == e
+
+
+def test_roundtrip_header_and_values():
+    hdr = make_header()
+    epochs, dense = make_grids()
+    text = write_ionex(hdr, epochs, dense)
+    h2, ep2, tec2, rms2 = parse_ionex(text)
+    assert h2.grid.lat == hdr.grid.lat
+    assert h2.grid.lon == hdr.grid.lon
+    assert h2.grid.alt == hdr.grid.alt
+    assert h2.interval_s == hdr.interval_s
+    assert h2.exponent == hdr.exponent
+    assert h2.epoch_first == hdr.epoch_first
+    assert h2.epoch_last == hdr.epoch_last
+    assert h2.number_of_maps == hdr.number_of_maps
+    np.testing.assert_array_equal(ep2, epochs)
+    np.testing.assert_array_equal(tec2, dense)
+    assert rms2 is None
+
+
+def test_roundtrip_with_rms_and_missing():
+    hdr = make_header(2)
+    epochs, dense = make_grids(2)
+    dense[0, 5, 7] = 9999  # plant a missing point
+    rms = np.full_like(dense, 3)
+    text = write_ionex(hdr, epochs, dense, rms)
+    _, ep2, tec2, rms2 = parse_ionex(text)
+    np.testing.assert_array_equal(tec2, dense)
+    np.testing.assert_array_equal(rms2, rms)
+    assert tec2[0, 5, 7] == 9999
+
+
+def test_line_widths():
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    text = write_ionex(hdr, epochs, dense)
+    for line in text.splitlines():
+        if line[60:].strip():
+            assert len(line) >= 60
+        else:
+            assert len(line) <= 80  # 16 x 5-char data cols
+
+
+def test_gzip_file_roundtrip(tmp_path):
+    hdr = make_header(2)
+    epochs, dense = make_grids(2)
+    p = str(tmp_path / "CKMG0020.22I.gz")
+    write_ionex_file(p, hdr, epochs, dense)
+    h2, ep2, tec2, _ = read_ionex_file(p)
+    np.testing.assert_array_equal(tec2, dense)
+
+
+def test_grids_to_long_drops_sentinel():
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    dense[0, 0, 0] = 9999
+    long = grids_to_long(hdr, epochs, dense)
+    assert len(long["tecu_q"]) == synth.GRID_NLAT * synth.GRID_NLON - 1
+    assert np.all(long["tecu_q"] != 9999)
+
+
+def test_testpoint_vector_against_field():
+    """End-to-end TestPoint pattern (src/tests/toolkit.rs:53-131): write the
+    smooth field, parse it back, bilinear-interpolate >= 18 probe points and
+    compare against the oracle field evaluated on the re-quantized corners."""
+    n_epochs = 3
+    hdr = make_header(n_epochs)
+    epochs, dense = make_grids(n_epochs, field="smooth")
+    text = write_ionex(hdr, epochs, dense)
+    _, ep2, tec2, _ = parse_ionex(text)
+    np.testing.assert_array_equal(tec2, dense)
+
+    # probe points spanning corners, dateline, both hemispheres, 3 epochs
+    probes = [
+        (-87.5, -180.0, 0), (87.5, 180.0, 0), (0.3, 0.3, 0),
+        (-30.2, 100.7, 0), (45.1, -120.4, 0), (87.3, 179.9, 0),
+        (-87.3, -179.9, 1), (10.0, 10.0, 1), (-10.0, -10.0, 1),
+        (60.0, 60.0, 1), (-60.0, -60.0, 1), (33.3, -77.7, 1),
+        (1.2, 179.0, 2), (-1.2, -179.0, 2), (80.0, 0.0, 2),
+        (-80.0, 0.0, 2), (25.4, 55.5, 2), (-25.4, -55.5, 2),
+    ]
+    for lat, lon, slot in probes:
+        li = int(np.floor((lat - synth.GRID_LAT0) / synth.GRID_DLAT))
+        li = min(li, synth.GRID_NLAT - 2)
+        lo = int(np.floor((lon - synth.GRID_LON0) / synth.GRID_DLON))
+        lo = min(lo, synth.GRID_NLON - 2)
+        lat_sw = synth.GRID_LAT0 + li * synth.GRID_DLAT
+        lon_sw = synth.GRID_LON0 + lo * synth.GRID_DLON
+        # dense row 0 = north; convert ascending index -> dense row
+        row = lambda i: synth.GRID_NLAT - 1 - i
+        sw = tec2[slot, row(li), lo] / 10.0
+        se = tec2[slot, row(li), lo + 1] / 10.0
+        nw = tec2[slot, row(li + 1), lo] / 10.0
+        ne = tec2[slot, row(li + 1), lo + 1] / 10.0
+        got = bilinear(
+            lon, lat, lon_sw, lat_sw, synth.GRID_DLON, synth.GRID_DLAT,
+            sw, se, nw, ne,
+        )
+        # oracle: same bilinear on the same quantized corners (abs < 1e-5,
+        # the reference's tolerance src/tests/toolkit.rs:116)
+        p = (lat - lat_sw) / synth.GRID_DLAT
+        q = (lon - lon_sw) / synth.GRID_DLON
+        want = (
+            (1 - p) * (1 - q) * sw + p * (1 - q) * se
+            + q * (1 - p) * nw + p * q * ne
+        )
+        assert got == pytest.approx(want, abs=1e-5)
