@@ -1,0 +1,159 @@
+"""Spatial core: TEC-grid cells, point->cell assignment, interpolation joins.
+
+The reference's point query (src/lib.rs:1107-1173) is a linear scan over
+cells; the engine replaces it with the canonical Spark shape
+(SURVEY.md §3.2):
+
+    points --(arithmetic cell index, narrow)--> join broadcast(tec_cells)
+           --(bilinear column expr, narrow)--> [temporal second join]
+           --(weighted combine, narrow)--> result
+
+Everything here is JVM-side: the cell index and both interpolation kernels
+are plain column arithmetic (whole-stage codegen), the grid side is always
+broadcast (a full worldwide day is ~126k cells ~ a few MB), so the ONLY
+exchange in the whole pipeline is the broadcast itself.  At 100 TB of
+points this plan stays shuffle-free end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ionex_spark.functions import sqlgen
+from ionex_spark.functions.sqlgen import GRID
+
+
+def build_tec_cells(spark: SparkSession, n_slots: int | None = None) -> DataFrame:
+    """Enumerate the (slot, cell) dimension with the 4 corner TECs
+    denormalized — the engine's ``tec_cells`` (SURVEY.md §1.3), generated
+    from the deterministic integer field.
+
+    Mirrors the reference's cell construction (src/lib.rs:921-997): the
+    cartesian product epochs x lat-pairs x lon-pairs with 4 corner lookups —
+    here a single ``spark.range`` decomposition, no joins, no shuffle.
+    """
+    n_slots = n_slots or GRID.n_slots
+    ncl, ncn = GRID.nlat - 1, GRID.nlon - 1
+    df = spark.range(n_slots * ncl * ncn)
+    decomp = [
+        f"cast(id / {ncl * ncn} as bigint) as slot",
+        f"cast((id % {ncl * ncn}) / {ncn} as bigint) as lat_i",
+        f"id % {ncn} as lon_i",
+    ]
+    df = df.selectExpr(*decomp)
+    return df.selectExpr(
+        "slot",
+        "lat_i",
+        "lon_i",
+        f"{sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} as tec_sw",
+        f"{sqlgen.corner_tec_sql('lat_i', '(lon_i + 1)', 'slot')} as tec_se",
+        f"{sqlgen.corner_tec_sql('(lat_i + 1)', 'lon_i', 'slot')} as tec_nw",
+        f"{sqlgen.corner_tec_sql('(lat_i + 1)', '(lon_i + 1)', 'slot')} as tec_ne",
+    )
+
+
+def cells_from_tec_points(tec_points: DataFrame) -> DataFrame:
+    """Build ``tec_cells`` from a long ``tec_points`` DataFrame via a 4-way
+    self-equi-join on neighbor indices — the general path for ingested
+    (non-synthetic) grids, mirroring src/lib.rs:921-997's corner probes.
+
+    Expects columns (slot, lat_i, lon_i, tecu); drops incomplete cells
+    (inner joins = the reference's filter_map on missing corners).
+    The grid is tiny relative to the point table, so this runs on the
+    broadcast side of the pipeline; one shuffle here is irrelevant.
+    """
+    p = tec_points
+    sw = p.selectExpr("slot", "lat_i", "lon_i", "tecu as tec_sw")
+    se = p.selectExpr("slot", "lat_i", "lon_i - 1 as lon_i", "tecu as tec_se")
+    nw = p.selectExpr("slot", "lat_i - 1 as lat_i", "lon_i", "tecu as tec_nw")
+    ne = p.selectExpr(
+        "slot", "lat_i - 1 as lat_i", "lon_i - 1 as lon_i", "tecu as tec_ne"
+    )
+    keys = ["slot", "lat_i", "lon_i"]
+    return (
+        sw.join(se, keys, "inner").join(nw, keys, "inner").join(ne, keys, "inner")
+    )
+
+
+def with_cell_index(points: DataFrame, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Narrow projection adding (lat_i, lon_i) — the O(1) replacement for
+    the reference's linear containing-cell scan (src/lib.rs:1139-1144)."""
+    return points.withColumns(
+        {
+            "lat_i": F.expr(sqlgen.lat_idx_sql(lat)),
+            "lon_i": F.expr(sqlgen.lon_idx_sql(lon)),
+        }
+    )
+
+
+def bilinear_tec_col(lat: str = "lat", lon: str = "lon", prefix: str = "tec_"):
+    """Bilinear interpolation as a single column expression over a joined
+    (point, cell) row — kernel of src/cell/mod.rs:412-432."""
+    return F.expr(
+        sqlgen.bilinear_sql(
+            sqlgen.frac_p_sql(lat, "lat_i"),
+            sqlgen.frac_q_sql(lon, "lon_i"),
+            f"{prefix}sw",
+            f"{prefix}se",
+            f"{prefix}nw",
+            f"{prefix}ne",
+        )
+    )
+
+
+def spatial_join_bilinear(
+    points: DataFrame,
+    cells: DataFrame,
+    slot_col: str = "slot",
+    lat: str = "lat",
+    lon: str = "lon",
+    out: str = "tec",
+) -> DataFrame:
+    """points x broadcast(cells) equi-join on (slot, lat_i, lon_i) + bilinear.
+
+    The aligned-epoch path of the reference's point query
+    (src/lib.rs:1138-1173) for a whole point table at once.
+    """
+    p = with_cell_index(points, lat, lon)
+    j = p.join(F.broadcast(cells), [slot_col, "lat_i", "lon_i"], "inner")
+    return j.withColumn(out, bilinear_tec_col(lat, lon)).drop(
+        "tec_sw", "tec_se", "tec_nw", "tec_ne"
+    )
+
+
+def temporal_spatial_join(
+    points: DataFrame,
+    cells: DataFrame,
+    tsec_col: str = "tsec",
+    lat: str = "lat",
+    lon: str = "lon",
+    out: str = "tec",
+) -> DataFrame:
+    """Unaligned-epoch path: bracket t in [t0, t1), bilinear at both bracket
+    epochs via two broadcast joins, then the linear temporal combine
+    (src/cell/mod.rs:799-830).  w=0 exactness at map epochs; points beyond
+    the last map epoch are dropped by the inner join on slot1 (the
+    reference's TemporalMismatch -> no row)."""
+    p = with_cell_index(points, lat, lon).withColumns(
+        {
+            "slot0": F.expr(sqlgen.bracket_slot0_sql(tsec_col)),
+            "w1": F.expr(sqlgen.bracket_w1_sql(tsec_col)),
+        }
+    )
+    c0 = cells.withColumnsRenamed(
+        {"slot": "slot0", "tec_sw": "sw0", "tec_se": "se0",
+         "tec_nw": "nw0", "tec_ne": "ne0"}
+    )
+    c1 = cells.selectExpr(
+        "slot - 1 as slot0", "lat_i", "lon_i",
+        "tec_sw as sw1", "tec_se as se1", "tec_nw as nw1", "tec_ne as ne1",
+    )
+    keys = ["slot0", "lat_i", "lon_i"]
+    j = p.join(F.broadcast(c0), keys, "inner").join(F.broadcast(c1), keys, "inner")
+    p_expr = sqlgen.frac_p_sql(lat, "lat_i")
+    q_expr = sqlgen.frac_q_sql(lon, "lon_i")
+    tec0 = sqlgen.bilinear_sql(p_expr, q_expr, "sw0", "se0", "nw0", "ne0")
+    tec1 = sqlgen.bilinear_sql(p_expr, q_expr, "sw1", "se1", "nw1", "ne1")
+    return j.withColumn(
+        out, F.expr(f"(1.0 - w1) * {tec0} + w1 * {tec1}")
+    ).drop("sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1")

@@ -1,0 +1,83 @@
+"""Text analysis for training-data pipelines — language-ID, quality
+scoring, token counting, fingerprinting (north_rule training-data ops).
+
+All built-in JVM expressions (length/replace/split/md5) — no Python, no
+regexp (regex dialects differ between engines; substring counting via
+replace-length is portable and codegen-friendly).  Each function both
+powers a registered oracled query and is usable as a standalone operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# occurrence count of a literal needle: (len(s) - len(replace(s, needle)))
+# / len(needle) — portable to any SQL engine, stays in whole-stage codegen
+def occ_sql(s: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return f"((length({s}) - length(replace({s}, '{n}', ''))) / {len(n)})"
+
+
+def token_count_sql(s: str) -> str:
+    """Whitespace token count: split on single spaces, ignore empties."""
+    return (
+        f"(length(trim({s})) - length(replace(trim({s}), ' ', '')) + 1)"
+    )
+
+
+# tiny deterministic stopword banks per language (public common words)
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "fr": (" le ", " la ", " et "),
+    "de": (" der ", " und ", " die "),
+    "es": (" el ", " de ", " que "),
+}
+
+
+def lang_score_sql(s: str, lang: str) -> str:
+    terms = " + ".join(occ_sql(s, m) for m in LANG_MARKERS[lang])
+    return f"({terms})"
+
+
+def lang_id_sql(s: str) -> str:
+    """argmax over language marker scores; ties resolve in the fixed
+    en > fr > de > es order (CASE evaluation order) — deterministic."""
+    scores = {lang: lang_score_sql(s, lang) for lang in LANG_MARKERS}
+    pairs = list(scores.items())
+    best = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in pairs
+    )
+    return f"(CASE {cases} ELSE 'und' END)"
+
+
+def quality_score_sql(s: str) -> str:
+    """Cheap quality heuristic in [0,1]-ish: penalize very short docs and
+    extreme punctuation/space ratios.  Integer/portable arithmetic over
+    doubles only."""
+    length = f"length({s})"
+    spaces = occ_sql(s, " ")
+    dots = occ_sql(s, ".")
+    return (
+        f"(least(cast({length} as double) / cast(500.0 as double),"
+        f" cast(1.0 as double))"
+        f" * (cast(1.0 as double) - least(({dots}) / (({spaces}) +"
+        f" cast(1.0 as double)), cast(1.0 as double))))"
+    )
+
+
+def fingerprint_sql(s: str) -> str:
+    """64-bit-ish document fingerprint: md5 of the normalized head + length
+    mixed in; portable (md5 is identical everywhere)."""
+    return f"substr(md5(concat(substr(lower({s}), 1, 256), '#', length({s}))), 1, 16)"
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumns(
+        {
+            "n_tokens": F.expr(token_count_sql(text_col)),
+            "lang_pred": F.expr(lang_id_sql(f"lower({text_col})")),
+            "quality": F.expr(quality_score_sql(text_col)),
+            "fingerprint": F.expr(fingerprint_sql(text_col)),
+        }
+    )

@@ -1,0 +1,368 @@
+"""The engine's query registry — drives __spark_entry__.queries()/oracle_sql().
+
+Every entry pairs a Spark DataFrame plan (the ENGINE path: real operators,
+broadcast joins, windows) with an equivalent DuckDB SQL oracle built from
+the SAME arithmetic fragments (ionex_spark.functions.sqlgen), so float
+results match bit-for-bit while the plans are genuinely different.
+
+Synthetic geospatial inputs are derived deterministically from integer id
+columns of the driver's parquet tables (events/lineitem/...) — no external
+data, reproducible in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ionex_spark.functions import sqlgen
+from ionex_spark.functions.sqlgen import GRID
+from ionex_spark.operators import knn as knn_ops
+from ionex_spark.operators import pip as pip_ops
+from ionex_spark.operators import spatial
+from ionex_spark.core import synth
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+# ------------------------------------------------------------ point synthesis
+
+_PTS_COLS = {
+    "id": "event_id",
+    "lat": sqlgen.lat_from_id_sql("event_id"),
+    "lon": sqlgen.lon_from_id_sql("event_id"),
+    "slot": sqlgen.slot_from_id_sql("event_id"),
+    "tsec": sqlgen.tsec_from_id_sql("event_id"),
+}
+
+_PTS_SQL = (
+    "SELECT "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _PTS_COLS.items())
+    + " FROM events"
+)
+
+
+def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(_t(sf_dir, "events")).select("event_id")
+    return df.selectExpr(
+        *[f"{expr} as {name}" for name, expr in _PTS_COLS.items()]
+    )
+
+
+# ---------------------------------------------------------------- flagship
+
+_TEC_EXPR_ORACLE = sqlgen.bilinear_sql(
+    sqlgen.frac_p_sql("lat", "lat_i"),
+    sqlgen.frac_q_sql("lon", "lon_i"),
+    sqlgen.corner_tec_sql("lat_i", "lon_i", "slot"),
+    sqlgen.corner_tec_sql("lat_i", "(lon_i + 1)", "slot"),
+    sqlgen.corner_tec_sql("(lat_i + 1)", "lon_i", "slot"),
+    sqlgen.corner_tec_sql("(lat_i + 1)", "(lon_i + 1)", "slot"),
+)
+
+_TILE_RES = 6
+
+
+@register(
+    "tile_bilinear",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+idx AS (
+  SELECT id, lat, lon, slot,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM pts
+)
+SELECT id, slot, lat_i, lon_i,
+       {sqlgen.cell_id_sql('lat', 'lon', _TILE_RES)} AS tile_id,
+       {_TEC_EXPR_ORACLE} AS tec
+FROM idx
+""",
+)
+def tile_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: point -> cell assignment -> broadcast spatial join ->
+    bilinear TEC -> hierarchical tile id.  The reference's aligned-epoch
+    point query (src/lib.rs:1138-1173) over a whole table, shuffle-free."""
+    pts = event_points(spark, sf_dir)
+    cells = spatial.build_tec_cells(spark)
+    out = spatial.spatial_join_bilinear(pts, cells)
+    return out.select(
+        "id",
+        "slot",
+        "lat_i",
+        "lon_i",
+        F.expr(sqlgen.cell_id_sql("lat", "lon", _TILE_RES)).alias("tile_id"),
+        "tec",
+    )
+
+
+@register(
+    "temporal_interp",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+idx AS (
+  SELECT id, lat, lon, tsec,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i,
+         {sqlgen.bracket_slot0_sql('tsec')} AS slot0,
+         {sqlgen.bracket_w1_sql('tsec')} AS w1
+  FROM pts
+)
+SELECT id, slot0, w1,
+       ({sqlgen.D(1.0)} - w1) * {_TEC_EXPR_ORACLE.replace('slot', 'slot0')}
+       + w1 * {_TEC_EXPR_ORACLE.replace('slot', '(slot0 + 1)')} AS tec
+FROM idx
+WHERE slot0 + 1 <= {GRID.n_slots - 1}
+""",
+)
+def temporal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned epochs: bracket t in [t0, t1), bilinear at both epochs via
+    two broadcast joins, linear combine (src/cell/mod.rs:799-830)."""
+    pts = event_points(spark, sf_dir)
+    cells = spatial.build_tec_cells(spark)
+    out = spatial.temporal_spatial_join(pts, cells)
+    return out.select("id", "slot0", "w1", "tec")
+
+
+@register(
+    "cell_rollup",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {sqlgen.cell_id_sql('lat', 'lon', 4)} AS cell4,
+       count(*) AS n_points,
+       min(id) AS min_id
+FROM pts
+GROUP BY 1
+""",
+)
+def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile rollup: encode at res 6, roll up to parent res 4,
+    count per parent — the raster-side aggregation path."""
+    pts = event_points(spark, sf_dir)
+    enc = pts.withColumn(
+        "cell6", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+    ).withColumn("cell4", F.expr(sqlgen.cell_parent_sql("cell6", 6, 4)))
+    return enc.groupBy("cell4").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("id").alias("min_id")
+    )
+
+
+@register(
+    "knn_grid",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+idx AS (
+  SELECT id, lat, lon,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM pts
+),
+cand AS (
+  SELECT id, lat, lon,
+         lat_i + di AS g_lat_i, lon_i + dj AS g_lon_i
+  FROM idx
+  CROSS JOIN (SELECT di.d AS di, dj.d AS dj
+              FROM (VALUES (-1),(0),(1),(2)) di(d),
+                   (VALUES (-1),(0),(1),(2)) dj(d)) offs
+  WHERE lat_i + di BETWEEN 0 AND {GRID.nlat - 1}
+    AND lon_i + dj BETWEEN 0 AND {GRID.nlon - 1}
+),
+scored AS (
+  SELECT id, g_lat_i, g_lon_i,
+         {sqlgen.cell_lat0_sql('g_lat_i')} AS g_lat,
+         {sqlgen.cell_lon0_sql('g_lon_i')} AS g_lon,
+         (lat - {sqlgen.cell_lat0_sql('g_lat_i')})
+           * (lat - {sqlgen.cell_lat0_sql('g_lat_i')})
+         + (lon - {sqlgen.cell_lon0_sql('g_lon_i')})
+           * (lon - {sqlgen.cell_lon0_sql('g_lon_i')}) AS dist2
+  FROM cand
+)
+SELECT id, rank, g_lat_i, g_lon_i, g_lat, g_lon, dist2
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY dist2, g_lat_i, g_lon_i) AS rank
+  FROM scored
+)
+WHERE rank <= 4
+""",
+)
+def knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 nearest grid points per query point (SURVEY.md §2.3 kNN)."""
+    pts = event_points(spark, sf_dir)
+    out = knn_ops.knn_grid_points(pts, k=4)
+    return out.select(
+        "id", "rank", "g_lat_i", "g_lon_i", "g_lat", "g_lon", "dist2"
+    )
+
+
+def _polygon_edges_values() -> str:
+    rows = pip_ops.edges_from_rings(synth.polygon_rings())
+    vals = ", ".join(
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for pid, x1, y1, x2, y2 in rows
+    )
+    return f"(VALUES {vals}) edges(poly_id, x1, y1, x2, y2)"
+
+
+@register(
+    "pip_polygons",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+hits AS (
+  SELECT id, poly_id, count(*) AS crossings
+  FROM pts JOIN {_polygon_edges_values()}
+    ON {pip_ops.CROSSING_COND.format(px='lon', py='lat')}
+  GROUP BY id, poly_id
+)
+SELECT id, poly_id FROM hits WHERE crossings % 2 = 1
+""",
+)
+def pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join against the fixture polygon set (convex,
+    concave, dateline-adjacent) — edge-table crossing number, built-ins
+    only (reference containment: src/cell/mod.rs:307-309)."""
+    pts = event_points(spark, sf_dir)
+    edges = pip_ops.edges_df(spark, synth.polygon_rings())
+    return pip_ops.pip_edges_join(pts, edges)
+
+
+@register(
+    "roi_filter",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {sqlgen.lat_idx_sql('lat')} AS lat_i,
+       {sqlgen.lon_idx_sql('lon')} AS lon_i,
+       count(*) AS n_points
+FROM pts
+WHERE lat >= -30.0 AND lat <= 30.0 AND lon >= -30.0 AND lon <= 30.0
+GROUP BY 1, 2
+""",
+)
+def roi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROI reduction: rect containment filter + per-cell count — mirrors
+    to_regional_ionex's (-30..30)^2 fixture (src/lib.rs:621-656,
+    src/tests/roi.rs)."""
+    pts = event_points(spark, sf_dir)
+    roi = pts.filter(
+        (F.col("lat") >= -30.0) & (F.col("lat") <= 30.0)
+        & (F.col("lon") >= -30.0) & (F.col("lon") <= 30.0)
+    )
+    return (
+        spatial.with_cell_index(roi)
+        .groupBy("lat_i", "lon_i")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+# ------------------------------------------------ grid construction / merge
+
+_TEC_POINTS_SQL = f"""
+  SELECT cast(floor(g.range / {(GRID.nlat) * (GRID.nlon)}) as bigint) AS slot,
+         cast(floor((g.range % {(GRID.nlat) * (GRID.nlon)}) / {GRID.nlon}) as bigint) AS lat_i,
+         (g.range % {GRID.nlon}) AS lon_i
+  FROM range({3 * GRID.nlat * GRID.nlon}) g
+"""
+
+
+@register(
+    "grid_cells_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT slot, lat_i, lon_i,
+         {sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} AS tecu
+  FROM ({_TEC_POINTS_SQL})
+)
+SELECT sw.slot, sw.lat_i, sw.lon_i,
+       sw.tecu AS tec_sw, se.tecu AS tec_se,
+       nw.tecu AS tec_nw, ne.tecu AS tec_ne
+FROM pts sw
+JOIN pts se ON se.slot = sw.slot AND se.lat_i = sw.lat_i
+           AND se.lon_i = sw.lon_i + 1
+JOIN pts nw ON nw.slot = sw.slot AND nw.lat_i = sw.lat_i + 1
+           AND nw.lon_i = sw.lon_i
+JOIN pts ne ON ne.slot = sw.slot AND ne.lat_i = sw.lat_i + 1
+           AND ne.lon_i = sw.lon_i + 1
+""",
+)
+def grid_cells_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell construction from long tec_points via 4-way self-equi-join —
+    the reference's 4-corner probe loop (src/lib.rs:921-997) as joins."""
+    n = 3 * GRID.nlat * GRID.nlon
+    pts = spark.range(n).selectExpr(
+        f"cast(floor(id / {GRID.nlat * GRID.nlon}) as bigint) as slot",
+        f"cast(floor((id % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) as lat_i",
+        f"id % {GRID.nlon} as lon_i",
+    ).selectExpr(
+        "slot", "lat_i", "lon_i",
+        f"{sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} as tecu",
+    )
+    cells = spatial.cells_from_tec_points(pts)
+    return cells.select(
+        "slot", "lat_i", "lon_i", "tec_sw", "tec_se", "tec_nw", "tec_ne"
+    )
+
+
+@register(
+    "grid_merge",
+    oracle=f"""
+WITH a AS (
+  SELECT slot, lat_i, lon_i,
+         {sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} AS tecu
+  FROM ({_TEC_POINTS_SQL}) WHERE slot < 2
+),
+b AS (
+  SELECT slot + 1 AS slot, lat_i, lon_i,
+         ({sqlgen.corner_tec_sql('lat_i', 'lon_i', '(slot + 1)')} + {sqlgen.D(100.0)}) AS tecu
+  FROM ({_TEC_POINTS_SQL}) WHERE slot < 2
+)
+SELECT coalesce(a.slot, b.slot) AS slot,
+       coalesce(a.lat_i, b.lat_i) AS lat_i,
+       coalesce(a.lon_i, b.lon_i) AS lon_i,
+       coalesce(a.tecu, b.tecu) AS tecu
+FROM a FULL OUTER JOIN b
+  ON a.slot = b.slot AND a.lat_i = b.lat_i AND a.lon_i = b.lon_i
+""",
+)
+def grid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed merge of two overlapping grids preferring lhs — the
+    reference's merge_mut semantics (src/record/qc.rs:12-31,
+    src/lib.rs:1290-1323): full outer join + coalesce."""
+    n = 3 * GRID.nlat * GRID.nlon
+    base = spark.range(n).selectExpr(
+        f"cast(floor(id / {GRID.nlat * GRID.nlon}) as bigint) as slot",
+        f"cast(floor((id % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) as lat_i",
+        f"id % {GRID.nlon} as lon_i",
+    )
+    a = base.filter("slot < 2").selectExpr(
+        "slot", "lat_i", "lon_i",
+        f"{sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} as tecu",
+    )
+    b = base.filter("slot < 2").selectExpr(
+        "slot + 1 as slot", "lat_i", "lon_i",
+        f"({sqlgen.corner_tec_sql('lat_i', 'lon_i', '(slot + 1)')} + {sqlgen.D(100.0)}) as tecu",
+    )
+    m = a.alias("a").join(
+        b.alias("b"),
+        ["slot", "lat_i", "lon_i"],
+        "full_outer",
+    )
+    return m.select(
+        "slot", "lat_i", "lon_i",
+        F.coalesce(F.col("a.tecu"), F.col("b.tecu")).alias("tecu"),
+    )
