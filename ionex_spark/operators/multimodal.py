@@ -1,0 +1,128 @@
+"""Multimodal column operators — decode / verify / feature-extract over
+binary image payloads, as Arrow-batched pandas UDFs.
+
+Payload discipline (SURVEY.md §4.2): the ``bytes`` column must never cross
+a shuffle it doesn't need — callers decode/verify AFTER the spatial join
+and project ``bytes`` away everywhere else.  All UDFs here are
+mapInPandas/pandas_udf (vectorized batches); per-row Python is forbidden
+per BASELINE.json.input_hint.
+
+Real codecs: ppm (lossless) and dct (lossy, PSNR>=40 dB) — pure numpy.
+External formats (jpeg/png/...) raise NotImplementedError inside
+core.codec (the documented stub; the Spark-side plumbing — schema,
+batching, null handling — is identical and fully tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+
+@F.pandas_udf(DoubleType())
+def verify_psnr(data: pd.Series, fmt: pd.Series, w: pd.Series,
+                h: pd.Series, image_id: pd.Series) -> pd.Series:
+    """PSNR of the decoded payload vs the deterministic generator source
+    (inf for lossless). image_id 'img{i:012d}' carries the generator seed."""
+    from ionex_spark.core import codec, synth
+
+    out = np.empty(len(data), dtype=np.float64)
+    for k in range(len(data)):
+        i = int(image_id.iloc[k][3:])
+        dec = codec.decode_image(data.iloc[k], fmt.iloc[k])
+        src = synth.image_pixels(i, int(w.iloc[k]), int(h.iloc[k]))
+        out[k] = codec.psnr(src, dec)
+    return pd.Series(out)
+
+
+@F.pandas_udf(LongType())
+def phash_of_bytes(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Recompute the 64-bit perceptual hash from the payload."""
+    from ionex_spark.core import codec
+
+    out = np.empty(len(data), dtype=np.int64)
+    for k in range(len(data)):
+        out[k] = codec.phash64(codec.decode_image(data.iloc[k], fmt.iloc[k]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BooleanType())
+def decodes_ok(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """True if the payload decodes under its declared codec."""
+    from ionex_spark.core import codec
+
+    out = np.zeros(len(data), dtype=bool)
+    for k in range(len(data)):
+        try:
+            codec.decode_image(data.iloc[k], fmt.iloc[k])
+            out[k] = True
+        except (NotImplementedError, ValueError):
+            out[k] = False
+    return pd.Series(out)
+
+
+RESIZE_SCHEMA = "image_id string, rw int, rh int, mean_r double, mean_g double, mean_b double"
+
+
+def resize_features(df: DataFrame, target: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: block-mean resize to target x target
+    + per-channel means.  Shows the decode->transform batch shape; projects
+    bytes away on output."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ionex_spark.core import codec
+
+        for pdf in it:
+            n = len(pdf)
+            means = np.zeros((n, 3))
+            for k in range(n):
+                img = codec.decode_image(pdf["bytes"].iloc[k], pdf["fmt"].iloc[k])
+                hh, ww = img.shape[:2]
+                yi = (np.arange(target) * hh) // target
+                xi = (np.arange(target) * ww) // target
+                small = img[np.ix_(yi, xi)]
+                means[k] = small.reshape(-1, 3).mean(axis=0)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "rw": target,
+                    "rh": target,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def verify_payloads(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """The input_hint per-row invariant: decoded pixels allclose vs the
+    generator (PSNR >= min_psnr for lossy, inf for lossless) and caption
+    equality.  Output adds (psnr_db, payload_ok, caption_ok)."""
+    out = images.withColumn(
+        "psnr_db",
+        verify_psnr("bytes", "fmt", "w", "h", "image_id"),
+    ).withColumn("payload_ok", F.col("psnr_db") >= F.lit(min_psnr))
+    return out.withColumn(
+        "caption_ok", _caption_matches("image_id", "caption")
+    )
+
+
+@F.pandas_udf(BooleanType())
+def _caption_matches(image_id: pd.Series, caption: pd.Series) -> pd.Series:
+    """Strict caption equality vs the deterministic generator."""
+    from ionex_spark.core import synth
+
+    out = np.zeros(len(image_id), dtype=bool)
+    for k in range(len(image_id)):
+        i = int(image_id.iloc[k][3:])
+        out[k] = (
+            synth.image_row(i, with_bytes=False)["caption"] == caption.iloc[k]
+        )
+    return pd.Series(out)

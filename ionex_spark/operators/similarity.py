@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of query vectors against the
+  corpus.  Queries are a small broadcast side; the dot product runs as a
+  JVM higher-order function (zip_with + aggregate over doubles — NO Python
+  in the loop); ranking is one shuffle on query id.  At 100 TB this is the
+  per-query-scan baseline: linear in corpus size but embarrassingly
+  parallel and shuffle-light.
+- ``lsh_bucket_topk``: random-hyperplane LSH — deterministic integer-
+  arithmetic hyperplanes, sign-bit bucket key, candidates restricted to
+  the query's bucket (and optionally neighboring buckets by hamming
+  distance 1).  The scale path: candidate count ~ corpus / 2^n_planes per
+  bucket, turning the scan into an equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+NORM_SQL = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. queries must be small (broadcast).
+
+    Output: (query_id, rank, vec_id, cos_sim); self-matches excluded;
+    deterministic tie-break on (cos_sim desc, vec_id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(id_col, vec_col)
+    j = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    dot = DOT_SQL.format(a=vec_col, b="qvec")
+    na = NORM_SQL.format(a=vec_col)
+    nb = NORM_SQL.format(a="qvec")
+    j = j.withColumn("cos_sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "cos_sim")
+    )
+
+
+def hyperplane_sql(vec_col: str, plane: int, dim: int) -> str:
+    """Deterministic pseudo-random hyperplane dot product: coefficient for
+    (plane p, dim d) = ((p*31 + d*17) % 19) - 9 (integer, zero-mean).
+    Expressible identically in any engine; no stored plane table needed."""
+    terms = " + ".join(
+        f"cast({vec_col}[{d}] as double) * {((plane * 31 + d * 17) % 19) - 9}"
+        for d in range(dim)
+    )
+    return f"({terms})"
+
+
+def lsh_bucket_key(df: DataFrame, vec_col: str, n_planes: int, dim: int,
+                   out: str = "bucket") -> DataFrame:
+    bits = " + ".join(
+        f"(case when {hyperplane_sql(vec_col, p, dim)} >= cast(0.0 as double)"
+        f" then {1 << p} else 0 end)"
+        for p in range(n_planes)
+    )
+    return df.withColumn(out, F.expr(f"cast({bits} as bigint)"))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: cosine top-k within the query's LSH bucket only."""
+    c = lsh_bucket_key(corpus.select(id_col, vec_col), vec_col, n_planes, dim)
+    q = lsh_bucket_key(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+        n_planes,
+        dim,
+    )
+    j = c.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = DOT_SQL.format(a=vec_col, b="qvec")
+    na = NORM_SQL.format(a=vec_col)
+    nb = NORM_SQL.format(a="qvec")
+    j = j.withColumn("cos_sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "bucket", "cos_sim")
+    )

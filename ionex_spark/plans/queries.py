@@ -206,8 +206,10 @@ def knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=4 nearest grid points per query point (SURVEY.md §2.3 kNN)."""
     pts = event_points(spark, sf_dir)
     out = knn_ops.knn_grid_points(pts, k=4)
-    return out.select(
-        "id", "rank", "g_lat_i", "g_lon_i", "g_lat", "g_lon", "dist2"
+    # row_number() is int32 in Spark but bigint in DuckDB: align schemas
+    return out.selectExpr(
+        "id", "cast(rank as bigint) as rank",
+        "g_lat_i", "g_lon_i", "g_lat", "g_lon", "dist2",
     )
 
 

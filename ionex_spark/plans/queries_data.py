@@ -1,0 +1,277 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity search.
+
+Registered into the same QUERIES/ORACLES registry as the geospatial set.
+Hash-based operators use the md5 backend here so DuckDB can reproduce the
+exact int64 values (dedup.token_hash_duckdb_sql); the xxhash64 backend is
+the production fast path exercised by tests/bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ionex_spark.operators import dedup as dd
+from ionex_spark.operators import similarity as sim
+from ionex_spark.operators import text as tx
+from ionex_spark.plans.queries import register
+
+N_MINHASH = 8
+BAND = 2
+EMB_DIM = 64
+LSH_PLANES = 4
+
+
+# ------------------------------------------------------------- exact dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.exact_dedup(docs)
+
+
+# ------------------------------------------------------------ minhash LSH
+
+_DUCK_TOKENS = """
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+"""
+
+_DUCK_MINHASH = "SELECT doc_id, " + ", ".join(
+    f"min({dd.token_hash_duckdb_sql('token', j)}) AS mh_{j}"
+    for j in range(N_MINHASH)
+) + f" FROM ({_DUCK_TOKENS}) GROUP BY doc_id"
+
+_DUCK_BANDS = "SELECT doc_id, band, key FROM (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('_', mh_{b * BAND}, mh_{b * BAND + 1}) AS key"
+    f" FROM mh"
+    for b in range(N_MINHASH // BAND)
+) + ")"
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"WITH mh AS ({_DUCK_MINHASH}) SELECT * FROM mh",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures (md5 backend) — the LSH building block."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.minhash_signatures(docs, N_MINHASH, backend="md5")
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH mh AS ({_DUCK_MINHASH}),
+bands AS ({_DUCK_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+toks AS ({_DUCK_TOKENS}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       cast(i.n_inter as double) / cast(sa.sz + sb.sz - i.n_inter as double)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE cast(i.n_inter as double) / cast(sa.sz + sb.sz - i.n_inter as double)
+      >= cast(0.5 as double)
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash -> LSH bands -> candidate pairs ->
+    exact jaccard verify >= 0.5."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, N_MINHASH, backend="md5")
+    pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND)
+    return dd.jaccard_verify(pairs, docs, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS ({_DUCK_TOKENS}),
+h AS (SELECT doc_id, {dd.token_hash_duckdb_sql('token', 0)} AS h FROM toks),
+sums AS (
+  SELECT doc_id, {', '.join(
+    f"sum(CASE WHEN (h % {1 << (j + 1)}) >= {1 << j} THEN 1 ELSE -1 END)"
+    f" AS s_{j}" for j in range(16)
+  )}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, cast({' + '.join(
+    f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)} as bigint) AS simhash16
+FROM sums
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash64(docs, backend="md5")
+
+
+# ------------------------------------------------------------ text features
+
+@register(
+    "text_features",
+    oracle=f"""
+SELECT doc_id,
+       cast({tx.token_count_sql('text')} as bigint) AS n_tokens,
+       {tx.lang_id_sql('lower(text)')} AS lang_pred,
+       {tx.quality_score_sql('text')} AS quality,
+       {tx.fingerprint_sql('text')} AS fingerprint
+FROM documents
+""",
+)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.with_text_features(docs)
+    return out.selectExpr(
+        "doc_id", "cast(n_tokens as bigint) as n_tokens",
+        "lang_pred", "quality", "fingerprint",
+    )
+
+
+@register(
+    "lang_id_accuracy",
+    oracle=f"""
+SELECT lang, {tx.lang_id_sql('lower(text)')} AS lang_pred, count(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the n-gram-marker language id vs the labeled
+    lang column — doubles as an accuracy fixture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("lang_pred", F.expr(tx.lang_id_sql("lower(text)")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(list_aggregate(list_transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ({_duck_dot('e.embedding', 'q.qvec')})
+         / (({_duck_norm('e.embedding')}) * ({_duck_norm('q.qvec')}))
+           AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 — ANN baseline (dot product as a JVM
+    higher-order fold; bit-identical to DuckDB's list_aggregate sum)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    out = sim.brute_force_topk(emb, queries, k=5)
+    return out.selectExpr(
+        "query_id", "cast(rank as bigint) as rank", "vec_id", "cos_sim"
+    )
+
+
+def _duck_hyperplane(vec: str, plane: int, dim: int) -> str:
+    terms = " + ".join(
+        f"CAST({vec}[{d + 1}] AS DOUBLE) * ({((plane * 31 + d * 17) % 19) - 9})"
+        for d in range(dim)
+    )
+    return f"({terms})"
+
+
+def _duck_bucket(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_hyperplane(vec, p, EMB_DIM)} >= CAST(0.0 AS DOUBLE)"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"cast({bits} as bigint)"
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_duck_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         ({_duck_dot('c.embedding', 'q.qvec')})
+         / (({_duck_norm('c.embedding')}) * ({_duck_norm('q.qvec')}))
+           AS cos_sim
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, rank, vec_id, bucket, cos_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: deterministic integer hyperplanes, sign-bit
+    bucket, cosine ranking within bucket only — the 100 TB scale path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    out = sim.lsh_bucket_topk(
+        emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM
+    )
+    return out.selectExpr(
+        "query_id", "cast(rank as bigint) as rank",
+        "vec_id", "bucket", "cos_sim",
+    )

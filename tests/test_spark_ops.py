@@ -1,0 +1,212 @@
+"""kNN, PIP, dedup, similarity, multimodal operators — Spark vs numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ionex_spark.core import synth
+from ionex_spark.functions import sqlgen
+from ionex_spark.functions.sqlgen import GRID
+from ionex_spark.operators import dedup as dd
+from ionex_spark.operators import knn as knn_ops
+from ionex_spark.operators import multimodal as mm
+from ionex_spark.operators import pip as pip_ops
+from ionex_spark.operators import similarity as sim
+
+pytestmark = pytest.mark.spark
+
+
+def make_points(spark, n=300):
+    return spark.range(n).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+
+
+# ------------------------------------------------------------------- kNN
+
+def test_knn_matches_brute_force(spark):
+    out = knn_ops.knn_grid_points(make_points(spark), k=4).toPandas()
+    lats = GRID.lat0 + np.arange(GRID.nlat) * GRID.dlat
+    lons = GRID.lon0 + np.arange(GRID.nlon) * GRID.dlon
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+    pts = make_points(spark).toPandas().set_index("id")
+    for pid, grp in out.groupby("id"):
+        lat, lon = pts.loc[pid, "lat"], pts.loc[pid, "lon"]
+        d2 = (lat - glat) ** 2 + (lon - glon) ** 2
+        best4 = np.sort(d2)[:4]
+        got = np.sort(grp["dist2"].to_numpy())
+        np.testing.assert_allclose(got, best4, atol=1e-9)
+
+
+# ------------------------------------------------------------------- PIP
+
+def test_pip_edges_vs_winding_udf(spark):
+    rings = synth.polygon_rings()
+    pts = make_points(spark, 400)
+    edges = pip_ops.edges_df(spark, rings)
+    via_join = (
+        pip_ops.pip_edges_join(pts, edges).toPandas()
+        .sort_values(["id", "poly_id"]).reset_index(drop=True)
+    )
+    udf = pip_ops.pip_winding_udf(rings)
+    via_udf = (
+        pts.withColumn("inside", udf("lon", "lat"))
+        .filter("inside").select("id").toPandas()
+    )
+    # join variant reports per-polygon rows; udf reports any-polygon
+    assert set(via_join["id"]) == set(via_udf["id"])
+    assert len(via_join) >= len(set(via_join["id"]))
+
+
+def test_pip_known_points(spark):
+    rings = synth.polygon_rings()
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 35.0, 35.0), (3, 5.0, 20.0),
+         (4, 170.0, 0.0), (5, -25.0, -25.0)],
+        "id bigint, lon double, lat double",
+    )
+    got = pip_ops.pip_edges_join(df, pip_ops.edges_df(spark, rings))
+    hits = {(r.id, r.poly_id) for r in got.collect()}
+    assert (1, "roi_rect") in hits       # origin inside the ROI rect
+    assert (5, "roi_rect") in hits
+    assert (2, "roi_rect") not in hits   # outside rect
+    assert (3, "concave") in hits        # inside concave arm
+    assert (2, "concave") not in hits    # inside the notch
+    assert (4, "dateline") in hits
+
+
+# ----------------------------------------------------------------- dedup
+
+def _docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog"),    # near dup
+        (3, "completely different text about spark engines"),
+        (4, "le chat noir dort sur le canape rouge et le tapis"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    out = dd.exact_dedup(_docs_df(spark)).toPandas()
+    assert len(out) == 4
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["keep_id"].iloc[0] == 0
+
+
+@pytest.mark.parametrize("backend", ["md5", "xxhash64"])
+def test_minhash_lsh_finds_near_dups(spark, backend):
+    docs = _docs_df(spark)
+    sigs = dd.minhash_signatures(docs, 8, backend=backend)
+    pairs = dd.lsh_candidate_pairs(sigs, 8, 2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always collides
+    verified = dd.jaccard_verify(pairs, docs, threshold=0.5)
+    v = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert v[(0, 1)] == 1.0
+    if (0, 2) in got:
+        assert v[(0, 2)] == pytest.approx(8 / 9)
+
+
+def test_simhash_similarity(spark):
+    out = dd.simhash64(_docs_df(spark), backend="xxhash64").toPandas()
+    s = out.set_index("doc_id")["simhash16"]
+    assert s[0] == s[1]  # identical docs -> identical simhash
+    ham = bin(int(s[0]) ^ int(s[2])).count("1")
+    ham_far = bin(int(s[0]) ^ int(s[3])).count("1")
+    assert ham <= ham_far  # near dup at most as far as unrelated doc
+
+
+# ------------------------------------------------------------ similarity
+
+def test_brute_force_topk_matches_numpy(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(80), "embedding": list(map(list, vecs))}
+    )
+    df = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    out = sim.brute_force_topk(df, df.filter("vec_id < 3"), k=5).toPandas()
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = v @ v.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        want = set(np.argsort(-s)[:5])
+        got = set(out[out["query_id"] == q]["vec_id"])
+        assert got == want
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": list(map(list, vecs))}
+    )
+    df = spark.createDataFrame(pdf, "vec_id bigint, embedding array<float>")
+    q = df.filter("vec_id < 10")
+    exact = sim.brute_force_topk(df, q, k=1).toPandas()
+    approx = sim.lsh_bucket_topk(df, q, k=1, n_planes=3, dim=16).toPandas()
+    top1 = exact[exact["rank"] == 1].set_index("query_id")["vec_id"]
+    hit = 0
+    for qid, grp in approx[approx["rank"] == 1].groupby("query_id"):
+        if top1.get(qid) == grp["vec_id"].iloc[0]:
+            hit += 1
+    assert hit >= 4  # 3 planes ~ >=50% top-1 recall on random data
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_images_source_and_verify(spark):
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 60, partitions=4).cache()
+    assert imgs.count() == 60
+    ver = mm.verify_payloads(imgs).select(
+        "image_id", "fmt", "psnr_db", "payload_ok", "caption_ok"
+    ).toPandas()
+    assert ver["payload_ok"].all()
+    assert ver["caption_ok"].all()
+    assert np.isinf(ver[ver["fmt"] == "ppm"]["psnr_db"]).all()
+    lossy = ver[ver["fmt"] == "dct"]["psnr_db"]
+    assert (lossy >= 40.0).all() and np.isfinite(lossy).all()
+
+
+def test_phash_column_matches_payload(spark):
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 20, partitions=2)
+    got = imgs.withColumn(
+        "phash2", mm.phash_of_bytes("bytes", "fmt")
+    ).selectExpr("image_id", "fmt", "phash", "phash2").toPandas()
+    exact = got[got["fmt"] == "ppm"]
+    assert (exact["phash"] == exact["phash2"]).all()
+    lossy = got[got["fmt"] == "dct"]
+    ham = [
+        bin(int(np.uint64(np.int64(a) ^ np.int64(b)))).count("1")
+        for a, b in zip(lossy["phash"], lossy["phash2"])
+    ]
+    assert max(ham) <= 10
+
+
+def test_resize_features(spark):
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 12, partitions=2)
+    feats = mm.resize_features(imgs).toPandas()
+    assert len(feats) == 12
+    assert ((feats["mean_r"] >= 0) & (feats["mean_r"] <= 255)).all()
+
+
+def test_unknown_codec_stub_flows_through(spark):
+    df = spark.createDataFrame(
+        [("x", bytearray(b"\x89PNG"), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = df.withColumn("ok", mm.decodes_ok("bytes", "fmt")).first()
+    assert got.ok is False

@@ -1,0 +1,168 @@
+"""Spark spatial operators vs the numpy oracle + reference golden fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ionex_spark.core import bilinear, cell_encode, temporal_interp
+from ionex_spark.core.synth import tecu_q_int
+from ionex_spark.functions import sqlgen
+from ionex_spark.functions.sqlgen import GRID
+from ionex_spark.operators import spatial
+
+pytestmark = pytest.mark.spark
+
+
+def make_points(spark, n=500):
+    return spark.range(n).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        f"{sqlgen.slot_from_id_sql('id')} as slot",
+        f"{sqlgen.tsec_from_id_sql('id')} as tsec",
+    )
+
+
+def numpy_tec(lat, lon, slot):
+    """Oracle: same field + bilinear via core kernels."""
+    lat_i = np.clip(
+        np.floor((lat - GRID.lat0) / GRID.dlat).astype(int), 0, GRID.nlat - 2
+    )
+    lon_i = np.clip(
+        np.floor((lon - GRID.lon0) / GRID.dlon).astype(int), 0, GRID.nlon - 2
+    )
+    sw = tecu_q_int(lat_i, lon_i, slot) / 10.0
+    se = tecu_q_int(lat_i, lon_i + 1, slot) / 10.0
+    nw = tecu_q_int(lat_i + 1, lon_i, slot) / 10.0
+    ne = tecu_q_int(lat_i + 1, lon_i + 1, slot) / 10.0
+    lat0 = GRID.lat0 + lat_i * GRID.dlat
+    lon0 = GRID.lon0 + lon_i * GRID.dlon
+    return bilinear(
+        lon, lat, lon0, lat0, GRID.dlon, GRID.dlat, sw, se, nw, ne,
+        out_of_bounds="none",
+    )
+
+
+def test_spatial_join_matches_numpy_oracle(spark):
+    pts = make_points(spark)
+    cells = spatial.build_tec_cells(spark)
+    out = (
+        spatial.spatial_join_bilinear(pts, cells)
+        .select("id", "lat", "lon", "slot", "tec")
+        .toPandas()
+        .sort_values("id")
+    )
+    assert len(out) == 500  # inner join keeps every point (full grid)
+    want = numpy_tec(
+        out["lat"].to_numpy(), out["lon"].to_numpy(), out["slot"].to_numpy()
+    )
+    np.testing.assert_allclose(out["tec"].to_numpy(), want, rtol=0, atol=1e-12)
+
+
+def test_bilinear_golden_fixtures_through_spark(spark):
+    """The reference's unit-cell goldens (src/cell/mod.rs:833-909) pushed
+    through the engine's JVM expression."""
+    rows = [
+        # p, q, sw, se, nw, ne, expected
+        (0.5, 0.5, 1.0, 1.0, 1.0, 1.0, 1.0),
+        (0.5, 0.5, 1.0, 0.0, 0.0, 0.0, 0.25),
+        (0.1, 0.1, 1.0, 0.0, 0.0, 0.0, 0.81),
+        (0.01, 0.01, 1.0, 0.0, 0.0, 0.0, 0.9801),
+        (0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "p double, q double, sw double, se double, nw double, ne double, want double"
+    )
+    got = df.selectExpr(
+        f"{sqlgen.bilinear_sql('p', 'q', 'sw', 'se', 'nw', 'ne')} as tec",
+        "want",
+    ).toPandas()
+    np.testing.assert_allclose(got["tec"], got["want"], atol=1e-12)
+
+
+def test_temporal_join_matches_numpy_oracle(spark):
+    pts = make_points(spark)
+    cells = spatial.build_tec_cells(spark)
+    out = (
+        spatial.temporal_spatial_join(pts, cells)
+        .select("id", "lat", "lon", "tsec", "tec")
+        .toPandas()
+        .sort_values("id")
+    )
+    assert len(out) == 500
+    lat, lon = out["lat"].to_numpy(), out["lon"].to_numpy()
+    t = out["tsec"].to_numpy().astype(float)
+    s0 = np.floor(t / 3600).astype(int)
+    v0 = numpy_tec(lat, lon, s0)
+    v1 = numpy_tec(lat, lon, s0 + 1)
+    want = temporal_interp(t, s0 * 3600.0, (s0 + 1) * 3600.0, v0, v1)
+    np.testing.assert_allclose(out["tec"].to_numpy(), want, atol=1e-12)
+
+
+def test_temporal_weight_zero_at_map_epoch(spark):
+    """w=0 exactness at aligned epochs (SURVEY.md §2.8 temporal notes)."""
+    df = spark.createDataFrame([(7200,)], "tsec bigint")
+    got = df.selectExpr(
+        f"{sqlgen.bracket_slot0_sql('tsec')} as s0",
+        f"{sqlgen.bracket_w1_sql('tsec')} as w1",
+    ).first()
+    assert got.s0 == 2 and got.w1 == 0.0
+
+
+def test_cell_id_expr_matches_numpy(spark):
+    pts = make_points(spark, 300)
+    for res in (0, 4, 9):
+        got = (
+            pts.selectExpr(
+                "id", "lat", "lon",
+                f"{sqlgen.cell_id_sql('lat', 'lon', res)} as cell",
+            )
+            .toPandas()
+            .sort_values("id")
+        )
+        want = cell_encode(got["lat"].to_numpy(), got["lon"].to_numpy(), res)
+        np.testing.assert_array_equal(got["cell"].to_numpy(), want)
+
+
+def test_cell_parent_expr_matches_numpy(spark):
+    from ionex_spark.core import cell_parent
+
+    pts = make_points(spark, 200)
+    got = (
+        pts.selectExpr(
+            "id",
+            f"{sqlgen.cell_id_sql('lat', 'lon', 9)} as c9",
+            f"{sqlgen.cell_parent_sql(sqlgen.cell_id_sql('lat', 'lon', 9), 9, 3)} as c3",
+        )
+        .toPandas()
+        .sort_values("id")
+    )
+    np.testing.assert_array_equal(
+        got["c3"].to_numpy(), cell_parent(got["c9"].to_numpy(), 3)
+    )
+
+
+def test_grid_edge_clamping(spark):
+    """Points beyond the lat grid edge clamp into the boundary cell
+    (worldwide wrap/clamp semantics, SURVEY.md §2.8)."""
+    df = spark.createDataFrame(
+        [(89.0, 0.0), (-89.0, 0.0), (0.0, 179.99), (0.0, -180.0)],
+        "lat double, lon double",
+    )
+    got = spatial.with_cell_index(df).toPandas()
+    assert got["lat_i"].tolist() == [69, 0, 35, 35]
+    assert got["lon_i"].tolist() == [36, 36, 71, 0]
+
+
+def test_plan_is_broadcast_and_shuffle_free(spark):
+    """The flagship join must broadcast the grid side and contain NO
+    shuffle exchange — the 100 TB design invariant (SURVEY.md §4.2)."""
+    pts = make_points(spark)
+    cells = spatial.build_tec_cells(spark)
+    plan = (
+        spatial.spatial_join_bilinear(pts, cells)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+    assert "Exchange hashpartitioning" not in plan
