@@ -1,0 +1,191 @@
+"""Engine benchmark — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., plus throughput extras}
+
+Headline set:
+- tile_assign_5m     flagship: 5M-point spatial join + bilinear + temporal
+                     + tile rollup (the north_rule metric; images/sec =
+                     rows / sec, reported as images_per_sec)
+- images_e2e         image+caption table WITH binary payloads: read ->
+                     spatial join -> tile assign -> payload verify (PSNR +
+                     caption) on a 1% sample -> noop sink
+- per-operator timings for the oracled query set at the given sf
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py which shells out to this file with
+SPARK_GRAFT_CPUS overridden; results land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
+N_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "5000000"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+IMAGES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench", f"images_{N_IMAGES}"
+)
+
+
+def _noop_sink(df) -> int:
+    """Materialize the full plan without disk cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def flagship_tile_assign(spark):
+    """5M synthetic points -> aligned bilinear join -> temporal join ->
+    res-6 tile id -> per-tile rollup. All broadcast; the only shuffle is
+    the final rollup aggregation."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import spatial
+
+    pts = spark.range(0, N_FLAGSHIP, 1, CPUS * 4).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        f"{sqlgen.slot_from_id_sql('id')} as slot",
+        f"{sqlgen.tsec_from_id_sql('id')} as tsec",
+    )
+    cells = spatial.build_tec_cells(spark)
+    aligned = spatial.spatial_join_bilinear(pts, cells, out="tec_aligned")
+    both = spatial.temporal_spatial_join(
+        aligned.drop("lat_i", "lon_i"), cells, out="tec_t"
+    )
+    tiled = both.withColumn(
+        "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+    )
+    rollup = tiled.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tec_t").alias("sum_tec"),
+        F.min("tec_aligned").alias("min_tec"),
+        F.max("tec_aligned").alias("max_tec"),
+    )
+    return rollup
+
+
+def ensure_images(spark) -> None:
+    if os.path.exists(os.path.join(IMAGES_PATH, "_SUCCESS")):
+        return
+    from ionex_spark.sources.images import write_images
+
+    t0 = time.time()
+    write_images(spark, N_IMAGES, IMAGES_PATH, partitions=CPUS * 2)
+    print(
+        f"# generated {N_IMAGES} images in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+
+def images_e2e(spark):
+    """Real image+caption payload pipeline: scan -> join -> tile ->
+    payload verify on a 1% sample -> aggregate."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import multimodal as mm
+    from ionex_spark.operators import spatial
+
+    imgs = spark.read.parquet(IMAGES_PATH)
+    cells = spatial.build_tec_cells(spark)
+    joined = spatial.spatial_join_bilinear(imgs, cells)
+    tiled = joined.withColumn(
+        "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+    )
+    # payload verify on a deterministic 1% sample (bytes stay columnar-
+    # pruned for the other 99%)
+    sample = tiled.filter("phash % 100 = 0")
+    verified = mm.verify_payloads(sample)
+    per_tile = tiled.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_images"), F.sum("tec").alias("sum_tec")
+    )
+    checks = verified.agg(
+        F.sum(F.expr("case when payload_ok then 0 else 1 end")).alias("bad_payload"),
+        F.sum(F.expr("case when caption_ok then 0 else 1 end")).alias("bad_caption"),
+    )
+    return per_tile, checks
+
+
+def main() -> None:
+    from ionex_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM + parquet footers
+    spark.range(1000).count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    if not ONLY or "tile_assign_5m" in ONLY:
+        timed("tile_assign_5m", lambda: _noop_sink(flagship_tile_assign(spark)))
+        extras["images_per_sec"] = round(
+            N_FLAGSHIP / timings["tile_assign_5m"], 1
+        )
+
+    if not ONLY or "images_e2e" in ONLY:
+        ensure_images(spark)
+        per_tile, checks = images_e2e(spark)
+        t0 = time.time()
+        _noop_sink(per_tile)
+        bad = checks.first()
+        timings["images_e2e"] = round(time.time() - t0, 3)
+        extras["images_e2e_per_sec"] = round(
+            N_IMAGES / timings["images_e2e"], 1
+        )
+        extras["bad_payloads"] = int(bad.bad_payload or 0)
+        extras["bad_captions"] = int(bad.bad_caption or 0)
+
+    bench_queries = (
+        ONLY
+        if ONLY
+        else [
+            "tile_bilinear", "temporal_interp", "knn_grid", "pip_polygons",
+            "cell_rollup", "roi_filter", "grid_cells_join", "grid_merge",
+            "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+            "text_features", "similarity_topk", "similarity_lsh_ann",
+        ]
+    )
+    for name in bench_queries:
+        if name in ("tile_assign_5m", "images_e2e") or name not in queries:
+            continue
+        timed(name, lambda n=name: _noop_sink(queries[n](spark, SF_DIR)))
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "spatial_join_tile_assign_headline_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "flagship_rows": N_FLAGSHIP,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,49 @@ def tokens_exploded(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, token) rows where token = word n-gram shingle.
+
+    Shingles (not unigrams) are what make minhash discriminative: random
+    documents share stopwords but almost no 3-grams, so LSH candidate
+    counts stay near-linear instead of quadratic.  Docs shorter than n
+    words fall back to their full text as a single shingle."""
+    joins = ", ' ', ".join(f"toks[i + {k}]" for k in range(n))
+    expr = (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(0, size(toks) - {n}), i -> concat({joins}))"
+        f" else array(concat_ws(' ', toks)) end"
+    )
+    return (
+        df.selectExpr(
+            id_col,
+            f"filter(split(lower({text_col}), ' '), x -> length(x) > 0)"
+            " as toks",
+        )
+        .selectExpr(id_col, f"explode({expr}) as token")
+    )
+
+
+def shingles_duckdb_sql(n: int = 3) -> str:
+    """DuckDB twin of shingles_exploded over `documents` (1-based lists)."""
+    joins = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    return f"""
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len(toks) >= {n}
+           THEN list_transform(range(1, len(toks) - {n - 2}), i -> {joins})
+           ELSE [array_to_string(toks, ' ')] END) AS token
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    )
+  )
+"""
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the min-id representative per content hash.
@@ -79,7 +122,7 @@ def minhash_signatures(
 
     One explode + one groupBy: all n min-aggregations share the single
     shuffle on id (map-side combine keeps it small)."""
-    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
+    toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
     aggs = [
@@ -137,8 +180,8 @@ def jaccard_verify(
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact token-set jaccard for candidate pairs (the verify stage)."""
-    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
+    """Exact shingle-set jaccard for candidate pairs (the verify stage)."""
+    toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

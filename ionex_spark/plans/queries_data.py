@@ -40,7 +40,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ minhash LSH
 
-_DUCK_TOKENS = """
+_DUCK_TOKENS = dd.shingles_duckdb_sql(3)
+
+_DUCK_UNIGRAMS = """
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
     FROM documents
@@ -110,7 +112,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     oracle=f"""
-WITH toks AS ({_DUCK_TOKENS}),
+WITH toks AS ({_DUCK_UNIGRAMS}),
 h AS (SELECT doc_id, {dd.token_hash_duckdb_sql('token', 0)} AS h FROM toks),
 sums AS (
   SELECT doc_id, {', '.join(

@@ -1,0 +1,147 @@
+"""IONEX ASCII <-> Spark: distributed ingest and export.
+
+Ingest (reference: IONEX::from_file / from_gzip_file, src/lib.rs:403-510):
+``binaryFile`` scan -> mapInPandas stateful block parser, ONE FILE = ONE
+TASK (files are independently parseable; a day file is ~MBs so per-file
+parallelism is the right grain — at 100 TB you have millions of files, not
+bigger files).  Gzip handled inside the UDF.  Output: long ``tec_points``
+rows; the 9999 sentinel becomes absent rows (sparse-in), RMS joins in as a
+nullable column — the reference's two-pass RMS attach collapsed into the
+parser (src/record/parsing.rs:166-173).
+
+Export (reference: Record::format, src/record/formatting.rs:14-207):
+``applyInPandas`` per epoch produces that epoch's TEC-map text block
+(dense raster scan N->S / W->E, 16 x 5-char values, `` 9999`` for missing);
+the driver assembles header + ordered blocks + footer (blocks are tiny
+strings; the heavy pivot/format work stays distributed).
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ionex_spark.core.ionex_io import (
+    IonexHeader,
+    grids_to_long,
+    parse_ionex,
+    write_ionex,
+)
+
+TEC_POINTS_SCHEMA = (
+    "epoch timestamp, lat double, lon double, alt double, "
+    "tecu_q bigint, exp int, rms_q bigint, src_file string"
+)
+
+
+def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            raw = bytes(content)
+            if path.endswith(".gz"):
+                raw = gzip.decompress(raw)
+            header, epochs, tec, rms = parse_ionex(raw.decode("ascii"))
+            long = grids_to_long(header, epochs, tec, rms)
+            n = len(long["tecu_q"])
+            yield pd.DataFrame(
+                {
+                    "epoch": pd.to_datetime(long["epoch"]),
+                    "lat": long["lat"],
+                    "lon": long["lon"],
+                    "alt": np.full(n, header.grid.alt.start),
+                    "tecu_q": long["tecu_q"],
+                    "exp": np.full(n, header.exponent, dtype=np.int32),
+                    "rms_q": (
+                        long["rms_q"]
+                        if long["rms_q"] is not None
+                        else np.full(n, np.nan)
+                    ),
+                    "src_file": path,
+                }
+            )
+
+
+def read_ionex(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed IONEX scan -> tec_points DataFrame (one task per file)."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _parse_batches, TEC_POINTS_SCHEMA
+    )
+
+
+def read_header(path: str) -> IonexHeader:
+    """Driver-side header peek (metadata is tiny; reference parses it
+    before the record for the same reason, src/lib.rs:358-372)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        header, _, _, _ = parse_ionex(fh.read())
+    return header
+
+
+def export_ionex(
+    tec_points: DataFrame, header: IonexHeader, out_path: str
+) -> None:
+    """Distributed format: per-epoch dense rasters built in executors,
+    single-writer assembly on the driver."""
+    g = header.grid
+    lat_vals = g.lat.values()
+    lon_vals = g.lon.values()
+    nlat, nlon = len(lat_vals), len(lon_vals)
+    lat0, dlat = lat_vals[0], (g.lat.spacing if len(lat_vals) > 1 else 1.0)
+    lon0, dlon = lon_vals[0], (g.lon.spacing if len(lon_vals) > 1 else 1.0)
+
+    def fmt_epoch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dense = np.full((nlat, nlon), 9999, dtype=np.int64)
+        li = np.rint((pdf["lat"].to_numpy() - lat0) / dlat).astype(int)
+        lo = np.rint((pdf["lon"].to_numpy() - lon0) / dlon).astype(int)
+        dense[li, lo] = pdf["tecu_q"].to_numpy()
+        lines: list[str] = []
+        for r in range(nlat):
+            spec = (
+                f"  {lat_vals[r]:6.1f}{g.lon.start:6.1f}{g.lon.end:6.1f}"
+                f"{g.lon.spacing:6.1f}{g.alt.start:6.1f}"
+            )
+            lines.append(f"{spec:<60}LAT/LON1/LON2/DLON/H")
+            row = dense[r]
+            for off in range(0, nlon, 16):
+                lines.append(
+                    "".join(f"{int(v):5}" for v in row[off : off + 16])
+                )
+        return pd.DataFrame(
+            {"epoch": [key[0]], "block": ["\n".join(lines)]}
+        )
+
+    blocks = (
+        tec_points.groupBy("epoch")
+        .applyInPandas(fmt_epoch, "epoch timestamp, block string")
+        .orderBy("epoch")
+        .collect()
+    )
+    from ionex_spark.core.ionex_io import _fmt_epoch_body, _fmt_line
+
+    out: list[str] = []
+    # header section via the core writer (empty record)
+    hdr_only = write_ionex(
+        header,
+        np.array([], dtype="datetime64[s]"),
+        np.zeros((0, nlat, nlon), dtype=np.int64),
+    ).splitlines()
+    out.extend(l for l in hdr_only if "END OF FILE" not in l)
+    for i, row in enumerate(blocks):
+        e = np.datetime64(row["epoch"])
+        out.extend(_fmt_line(f"{i + 1:6}", "START OF TEC MAP"))
+        out.extend(_fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"))
+        out.append(row["block"])
+        out.extend(_fmt_line(f"{i + 1:6}", "END OF TEC MAP"))
+    out.extend(_fmt_line("", "END OF FILE"))
+    text = "\n".join(out) + "\n"
+    if out_path.endswith(".gz"):
+        with gzip.open(out_path, "wt", compresslevel=5) as fh:
+            fh.write(text)
+    else:
+        with open(out_path, "w") as fh:
+            fh.write(text)

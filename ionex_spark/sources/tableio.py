@@ -1,0 +1,167 @@
+"""TableIO — Iceberg-style snapshot table on parquet + JSON manifests.
+
+The sandbox has no Iceberg jars (SURVEY.md §7), so the engine ships a thin
+table layer with the same *semantics* the north_rule needs:
+
+- append-only commits: each commit writes parquet files under ``data/``
+  and an immutable ``snapshot-N.json`` manifest (file list, parent id,
+  summary) — the commit is the atomic rename of the manifest;
+- time travel: ``read(spark, snapshot_id)`` reads exactly the files listed
+  in that manifest (old snapshots never change);
+- checkpoint/resume: ``ResumableJob`` partitions work into named chunks;
+  each completed chunk appends one snapshot and one lineage record
+  (job_id, chunk, rows, seconds, snapshot_id).  Re-running the job skips
+  committed chunks — per-partition idempotent writes keyed by
+  (job_id, chunk), the Iceberg-snapshot checkpoint pattern of
+  BASELINE.json.north_star.
+
+With Iceberg jars present the same call sites would map 1:1 onto
+``df.writeTo(...).append()`` + snapshot ids; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ metadata
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for f in sorted(os.listdir(self.meta_dir)):
+            if f.startswith("snapshot-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _files_at(self, snapshot_id: int | None) -> list[str]:
+        snaps = self.snapshots()
+        if not snaps:
+            return []
+        if snapshot_id is None:
+            chosen = snaps[-1]
+        else:
+            matches = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not matches:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            chosen = matches[0]
+        return chosen["files"]
+
+    # ----------------------------------------------------------- write/read
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Write df as new parquet files + commit a child snapshot."""
+        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        files = [
+            os.path.join(stage, f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        ]
+        parent = self.current_snapshot()
+        prev_files = parent["files"] if parent else []
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "timestamp": time.time(),
+            "files": prev_files + files,
+            "added_files": files,
+            "summary": summary or {},
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+        return sid
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        files = self._files_at(snapshot_id)
+        if not files:
+            raise ValueError("table has no snapshots")
+        return spark.read.parquet(*files)
+
+
+class ResumableJob:
+    """Chunked, checkpointed job with per-chunk lineage + metrics.
+
+    ``chunks`` are (name, producer) pairs; ``producer(spark) -> DataFrame``
+    computes that chunk's output.  Completed chunks are recorded in
+    ``_lineage/<job_id>.json`` and skipped on re-run.
+    """
+
+    def __init__(self, table: SnapshotTable, job_id: str):
+        self.table = table
+        self.job_id = job_id
+        self.lineage_dir = os.path.join(table.root, "_lineage")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        self.lineage_path = os.path.join(self.lineage_dir, f"{job_id}.json")
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self.lineage_path):
+            return []
+        with open(self.lineage_path) as fh:
+            return json.load(fh)
+
+    def completed_chunks(self) -> set[str]:
+        return {rec["chunk"] for rec in self.lineage()}
+
+    def run(self, spark: SparkSession, chunks: list[tuple[str, callable]]) -> dict:
+        done = self.completed_chunks()
+        records = self.lineage()
+        ran, skipped = [], []
+        for name, producer in chunks:
+            if name in done:
+                skipped.append(name)
+                continue
+            t0 = time.time()
+            df = producer(spark)
+            rows = df.count()
+            sid = self.table.append(
+                df, summary={"job_id": self.job_id, "chunk": name}
+            )
+            rec = {
+                "job_id": self.job_id,
+                "chunk": name,
+                "rows": rows,
+                "seconds": round(time.time() - t0, 3),
+                "snapshot_id": sid,
+                "ts": time.time(),
+            }
+            records.append(rec)
+            tmp = self.lineage_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(records, fh)
+            os.rename(tmp, self.lineage_path)
+            ran.append(name)
+        return {"ran": ran, "skipped": skipped, "lineage": records}
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """The lineage as the engine's metrics table."""
+        recs = self.lineage()
+        if not recs:
+            return spark.createDataFrame(
+                [],
+                "job_id string, chunk string, rows bigint, seconds double,"
+                " snapshot_id bigint, ts double",
+            )
+        return spark.createDataFrame(recs).select(
+            "job_id", "chunk", "rows", "seconds", "snapshot_id", "ts"
+        )

@@ -1,0 +1,60 @@
+"""Streaming tile assignment — the engine's pipeline as a readStream job.
+
+The reference is a batch file library (SURVEY.md §2.9); streaming shape
+comes from the north_rule's resumability requirements.  Design:
+
+- stream-STATIC broadcast join: the TEC cell grid is the static side, so
+  the aligned spatial join works unchanged on a stream (no stream-stream
+  join, no state store for the join itself);
+- event-time windowed rollup per tile with a watermark for late data —
+  the streaming twin of the batch per-tile aggregation;
+- checkpointLocation gives exactly-once file-sink semantics; combined
+  with the deterministic id-keyed generator, replays are idempotent
+  (same guarantee the batch ResumableJob provides via snapshots).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ionex_spark.functions import sqlgen
+from ionex_spark.operators import spatial
+
+
+def stream_points_from_files(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """File-based micro-batch source of point rows (id, lat, lon, slot, ts)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_tile_assign(points: DataFrame, cells: DataFrame) -> DataFrame:
+    """Stream-static broadcast spatial join + bilinear TEC + tile id."""
+    out = spatial.spatial_join_bilinear(points, cells)
+    return out.withColumn(
+        "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+    )
+
+
+def windowed_tile_counts(
+    tiled: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window rollup per tile with late-data watermark."""
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("tec").alias("sum_tec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tile_id",
+            "n_points",
+            "sum_tec",
+        )
+    )

@@ -105,11 +105,12 @@ def test_minhash_lsh_finds_near_dups(spark, backend):
     pairs = dd.lsh_candidate_pairs(sigs, 8, 2)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got  # exact dup always collides
-    verified = dd.jaccard_verify(pairs, docs, threshold=0.5)
+    verified = dd.jaccard_verify(pairs, docs, threshold=0.3)
     v = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
     assert v[(0, 1)] == 1.0
     if (0, 2) in got:
-        assert v[(0, 2)] == pytest.approx(8 / 9)
+        # trigram shingles: 4 shared of 10 distinct across both docs
+        assert v[(0, 2)] == pytest.approx(4 / 10)
 
 
 def test_simhash_similarity(spark):

@@ -1,0 +1,120 @@
+"""SnapshotTable semantics, resumable jobs, and the streaming pipeline."""
+
+import json
+import os
+
+import pytest
+
+from ionex_spark.sources.tableio import ResumableJob, SnapshotTable
+
+pytestmark = pytest.mark.spark
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.append(spark.range(10).selectExpr("id", "id * 2 as v"))
+    s2 = t.append(spark.range(10, 15).selectExpr("id", "id * 2 as v"))
+    assert (s1, s2) == (1, 2)
+    assert t.read(spark).count() == 15
+    assert t.read(spark, snapshot_id=1).count() == 10  # time travel
+    snaps = t.snapshots()
+    assert snaps[1]["parent_id"] == 1
+    assert len(snaps[1]["added_files"]) >= 1
+    with pytest.raises(KeyError):
+        t.read(spark, snapshot_id=99)
+
+
+def test_resumable_job_skips_completed_chunks(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    job = ResumableJob(t, "job-1")
+
+    calls = []
+
+    def chunk(lo, hi):
+        def fn(s):
+            calls.append((lo, hi))
+            return s.range(lo, hi).selectExpr("id", "id + 100 as v")
+
+        return fn
+
+    chunks = [(f"c{i}", chunk(i * 10, (i + 1) * 10)) for i in range(3)]
+    r1 = job.run(spark, chunks)
+    assert r1["ran"] == ["c0", "c1", "c2"] and not r1["skipped"]
+    assert t.read(spark).count() == 30
+
+    # resume: nothing re-runs, no new data
+    calls.clear()
+    r2 = job.run(spark, chunks)
+    assert r2["skipped"] == ["c0", "c1", "c2"] and not r2["ran"]
+    assert not calls
+    assert t.read(spark).count() == 30
+
+    # partial failure simulation: drop one lineage record -> only that
+    # chunk re-runs (idempotent per-chunk writes)
+    recs = job.lineage()
+    with open(job.lineage_path, "w") as fh:
+        json.dump([r for r in recs if r["chunk"] != "c1"], fh)
+    r3 = job.run(spark, chunks)
+    assert r3["ran"] == ["c1"] and r3["skipped"] == ["c0", "c2"]
+
+    m = job.metrics_df(spark).toPandas()
+    assert set(m["chunk"]) == {"c0", "c1", "c2"}
+    assert (m["rows"] == 10).all()
+    assert (m["seconds"] > 0).all()
+
+
+def test_streaming_tile_pipeline(spark, tmp_path):
+    """File-source micro-batch stream -> stream-static broadcast join ->
+    windowed tile rollup == the batch answer on the same rows."""
+    import numpy as np
+
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import spatial
+    from ionex_spark.streaming.stream import (
+        stream_points_from_files,
+        streaming_tile_assign,
+        windowed_tile_counts,
+    )
+
+    src = str(tmp_path / "src")
+    n = 2000
+    batch_pts = spark.range(n).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        f"{sqlgen.slot_from_id_sql('id')} as slot",
+        f"timestamp '2022-01-02 00:00:00' + make_interval(0, 0, 0, 0, 0, 0,"
+        f" {sqlgen.slot_from_id_sql('id')} * 3600) as ts",
+    )
+    batch_pts.repartition(4).write.parquet(src)
+
+    cells = spatial.build_tec_cells(spark)
+    schema = "id bigint, lat double, lon double, slot bigint, ts timestamp"
+    stream = stream_points_from_files(spark, src, schema)
+    assert stream.isStreaming
+    tiled = streaming_tile_assign(stream, cells)
+    agg = windowed_tile_counts(tiled, window="1 hour", watermark="2 hours")
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tiles_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select tile_id, sum(n_points) as n from tiles_stream group by tile_id"
+    ).toPandas()
+
+    want = (
+        streaming_tile_assign(batch_pts, cells)
+        .groupBy("tile_id")
+        .count()
+        .toPandas()
+    )
+    gw = got.sort_values("tile_id").reset_index(drop=True)
+    ww = want.sort_values("tile_id").reset_index(drop=True)
+    assert len(gw) == len(ww)
+    np.testing.assert_array_equal(gw["tile_id"], ww["tile_id"])
+    np.testing.assert_array_equal(gw["n"], ww["count"])
