@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registry():
     """Import all query modules (side-effect: registry population)."""
-    from ionex_spark.plans import queries, queries_data  # noqa: F401
+    from ionex_spark.plans import queries, queries_data, queries_ref  # noqa: F401
 
     return queries
 

@@ -5,7 +5,7 @@ Prints ONE JSON line:
    "queries": {name: sec}, "sf": ..., plus throughput extras}
 
 Headline set:
-- tile_assign_5m     flagship: 5M-point spatial join + bilinear + temporal
+- tile_assign     flagship: 5M-point spatial join + bilinear + temporal
                      + tile rollup (the north_rule metric; images/sec =
                      rows / sec, reported as images_per_sec)
 - images_e2e         image+caption table WITH binary payloads: read ->
@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
-N_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "5000000"))
+N_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000000"))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
 IMAGES_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"images_{N_IMAGES}"
@@ -44,7 +44,7 @@ def _noop_sink(df) -> int:
 
 
 def flagship_tile_assign(spark):
-    """5M synthetic points -> aligned bilinear join -> temporal join ->
+    """N synthetic points (default 200M) -> aligned bilinear join -> temporal join ->
     res-6 tile id -> per-tile rollup. All broadcast; the only shuffle is
     the final rollup aggregation."""
     from pyspark.sql import functions as F
@@ -60,18 +60,15 @@ def flagship_tile_assign(spark):
         f"{sqlgen.tsec_from_id_sql('id')} as tsec",
     )
     cells = spatial.build_tec_cells(spark)
-    aligned = spatial.spatial_join_bilinear(pts, cells, out="tec_aligned")
-    both = spatial.temporal_spatial_join(
-        aligned.drop("lat_i", "lon_i"), cells, out="tec_t"
-    )
+    both = spatial.temporal_spatial_join(pts, cells, out="tec_t")
     tiled = both.withColumn(
         "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
     )
     rollup = tiled.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("tec_t").alias("sum_tec"),
-        F.min("tec_aligned").alias("min_tec"),
-        F.max("tec_aligned").alias("max_tec"),
+        F.min("tec_t").alias("min_tec"),
+        F.max("tec_t").alias("max_tec"),
     )
     return rollup
 
@@ -138,10 +135,10 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    if not ONLY or "tile_assign_5m" in ONLY:
-        timed("tile_assign_5m", lambda: _noop_sink(flagship_tile_assign(spark)))
+    if not ONLY or "tile_assign" in ONLY:
+        timed("tile_assign", lambda: _noop_sink(flagship_tile_assign(spark)))
         extras["images_per_sec"] = round(
-            N_FLAGSHIP / timings["tile_assign_5m"], 1
+            N_FLAGSHIP / timings["tile_assign"], 1
         )
 
     if not ONLY or "images_e2e" in ONLY:
@@ -168,7 +165,7 @@ def main() -> None:
         ]
     )
     for name in bench_queries:
-        if name in ("tile_assign_5m", "images_e2e") or name not in queries:
+        if name in ("tile_assign", "images_e2e") or name not in queries:
             continue
         timed(name, lambda n=name: _noop_sink(queries[n](spark, SF_DIR)))
 

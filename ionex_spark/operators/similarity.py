@@ -119,3 +119,34 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "bucket", "cos_sim")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Candidates come from LSH bucket equality (near-identical vectors share
+    all sign bits with overwhelming probability), so the self-join is
+    per-bucket instead of O(n^2); the exact cosine verifies.  The 100 TB
+    shape: one shuffle on bucket, bucket sizes ~ n/2^planes."""
+    c = lsh_bucket_key(corpus.select(id_col, vec_col), vec_col, n_planes, dim)
+    a = c.selectExpr(
+        f"{id_col} as id_a", f"{vec_col} as va", "bucket"
+    )
+    b = c.selectExpr(
+        f"{id_col} as id_b", f"{vec_col} as vb", "bucket"
+    )
+    j = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = DOT_SQL.format(a="va", b="vb")
+    na = NORM_SQL.format(a="va")
+    nb = NORM_SQL.format(a="vb")
+    j = j.withColumn("cos_sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+    return j.filter(F.col("cos_sim") >= threshold).select(
+        "id_a", "id_b", "bucket", "cos_sim"
+    )

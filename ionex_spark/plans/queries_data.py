@@ -277,3 +277,31 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cast(rank as bigint) as rank",
         "vec_id", "bucket", "cos_sim",
     )
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         ({_duck_dot('a.embedding', 'b.embedding')})
+         / (({_duck_norm('a.embedding')}) * ({_duck_norm('b.embedding')}))
+           AS cos_sim
+  FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, bucket, cos_sim FROM pairs
+WHERE cos_sim >= cast(0.9 as double)
+""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify
+    (the dedup brief's embedding-cosine near-dup operator)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=LSH_PLANES, dim=EMB_DIM
+    )
+    return out

@@ -1,0 +1,438 @@
+"""Reference-operator parity queries (SURVEY.md §2.2-2.7) + general OLAP.
+
+Each maps one reference operator family onto the driver tables with a
+bit-exact DuckDB oracle.  Naming: alias every computed column identically
+in the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ionex_spark.functions import sqlgen
+from ionex_spark.functions.sqlgen import GRID, D
+from ionex_spark.plans.queries import register, event_points, _PTS_SQL
+
+
+# ----------------------------------------------------- epoch aggregations
+
+@register(
+    "epochs_distinct",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT slot, count(*) AS n FROM pts GROUP BY slot
+""",
+)
+def epochs_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct+sorted epochs with counts — Record::epochs_iter /
+    synchronous grouping (src/lib.rs:796-798, src/record/mod.rs:143-145).
+    (Driver compare is order-insensitive; orderBy shown for plan parity.)"""
+    pts = event_points(spark, sf_dir)
+    return (
+        pts.groupBy("slot").agg(F.count(F.lit(1)).alias("n")).orderBy("slot")
+    )
+
+
+@register(
+    "epoch_bounds",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT min(slot) AS first_epoch, max(slot) AS last_epoch,
+       count(DISTINCT slot) AS n_epochs
+FROM pts
+""",
+)
+def epoch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last epoch + cardinality (src/record/mod.rs:148-150,
+    temporal-bounds check src/lib.rs:1022-1024)."""
+    pts = event_points(spark, sf_dir)
+    return pts.agg(
+        F.min("slot").alias("first_epoch"),
+        F.max("slot").alias("last_epoch"),
+        F.countDistinct("slot").alias("n_epochs"),
+    )
+
+
+@register(
+    "epoch_mask_filters",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT
+  sum(CASE WHEN slot =  12 THEN 1 ELSE 0 END) AS n_eq,
+  sum(CASE WHEN slot != 12 THEN 1 ELSE 0 END) AS n_ne,
+  sum(CASE WHEN slot >  12 THEN 1 ELSE 0 END) AS n_gt,
+  sum(CASE WHEN slot >= 12 THEN 1 ELSE 0 END) AS n_ge,
+  sum(CASE WHEN slot <  12 THEN 1 ELSE 0 END) AS n_lt,
+  sum(CASE WHEN slot <= 12 THEN 1 ELSE 0 END) AS n_le
+FROM pts
+""",
+)
+def epoch_mask_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six epoch mask predicates (orphan module src/mask.rs:4-31)."""
+    pts = event_points(spark, sf_dir)
+    return pts.selectExpr(
+        "sum(CASE WHEN slot =  12 THEN 1 ELSE 0 END) AS n_eq",
+        "sum(CASE WHEN slot != 12 THEN 1 ELSE 0 END) AS n_ne",
+        "sum(CASE WHEN slot >  12 THEN 1 ELSE 0 END) AS n_gt",
+        "sum(CASE WHEN slot >= 12 THEN 1 ELSE 0 END) AS n_ge",
+        "sum(CASE WHEN slot <  12 THEN 1 ELSE 0 END) AS n_lt",
+        "sum(CASE WHEN slot <= 12 THEN 1 ELSE 0 END) AS n_le",
+    )
+
+
+# ------------------------------------------------- filename attribute scan
+
+_FNAME = (
+    "concat(CASE WHEN event_id % 3 = 0 THEN 'CKM' WHEN event_id % 3 = 1"
+    " THEN 'JPL' ELSE 'UQR' END,"
+    " CASE WHEN event_id % 2 = 0 THEN 'G' ELSE 'R' END,"
+    " lpad(cast(1 + (event_id % 365) as string), 3, '0'), '0.',"
+    " lpad(cast(event_id % 100 as string), 2, '0'), 'I',"
+    " CASE WHEN event_id % 5 = 0 THEN '.gz' ELSE '' END)"
+)
+
+_FNAME_RE = "([A-Z0-9]{3})([GR])([0-9]{3})0\\.([0-9]{2})I"
+
+
+@register(
+    "filename_attributes",
+    oracle=f"""
+WITH f AS (SELECT event_id, {_FNAME} AS fname FROM events)
+SELECT event_id, fname,
+       regexp_extract(fname, '{_FNAME_RE}', 1) AS agency,
+       regexp_extract(fname, '{_FNAME_RE}', 2) AS region,
+       cast(regexp_extract(fname, '{_FNAME_RE}', 3) as bigint) AS doy,
+       cast(regexp_extract(fname, '{_FNAME_RE}', 4) as bigint) AS yy,
+       CASE WHEN fname LIKE '%.gz' THEN 1 ELSE 0 END AS gzipped
+FROM f
+""",
+)
+def filename_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGS filename parse `AAAR DDD0.YYI[.gz]` -> attributes
+    (FileAttributes::from_str, src/file_attributes.rs:115-155) as
+    regexp_extract over a generated filename column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    f = ev.selectExpr("event_id", f"{_FNAME} as fname")
+    return f.selectExpr(
+        "event_id",
+        "fname",
+        f"regexp_extract(fname, '{_FNAME_RE}', 1) as agency",
+        f"regexp_extract(fname, '{_FNAME_RE}', 2) as region",
+        f"cast(regexp_extract(fname, '{_FNAME_RE}', 3) as bigint) as doy",
+        f"cast(regexp_extract(fname, '{_FNAME_RE}', 4) as bigint) as yy",
+        "CASE WHEN fname LIKE '%.gz' THEN 1 ELSE 0 END as gzipped",
+    )
+
+
+# --------------------------------------------------- quantization round trip
+
+@register(
+    "quantize_roundtrip",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+q AS (
+  SELECT id, lat, lon,
+         cast(floor(lat * {D(10.0)} + {D(0.5)}) as bigint) AS lat_q,
+         cast(floor(lon * {D(10.0)} + {D(0.5)}) as bigint) AS lon_q
+  FROM pts WHERE lat >= {D(0.0)} AND lon >= {D(0.0)}
+)
+SELECT id, lat_q, lon_q,
+       lat_q / {D(10.0)} AS lat_rt,
+       lon_q / {D(10.0)} AS lon_rt
+FROM q
+""",
+)
+def quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized::new / real_value round trip as column ops
+    (src/quantized.rs:55-70): value = round(v*10^e) as int64, real = q/10^e.
+    floor(x*s + 0.5) == round-half-away for the non-negative inputs used
+    here, and is portable (Spark/DuckDB round() tie rules differ)."""
+    pts = event_points(spark, sf_dir).filter("lat >= 0.0 and lon >= 0.0")
+    return pts.selectExpr(
+        "id",
+        f"cast(floor(lat * {D(10.0)} + {D(0.5)}) as bigint) as lat_q",
+        f"cast(floor(lon * {D(10.0)} + {D(0.5)}) as bigint) as lon_q",
+    ).selectExpr(
+        "id", "lat_q", "lon_q",
+        f"lat_q / {D(10.0)} as lat_rt",
+        f"lon_q / {D(10.0)} as lon_rt",
+    )
+
+
+# ----------------------------------------------------- nearest grid lines
+
+@register(
+    "nearest_grid_lines",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL})
+SELECT id,
+  {sqlgen.cell_lat0_sql(sqlgen.lat_idx_sql('lat'))} AS lat_lower,
+  {sqlgen.cell_lon0_sql(sqlgen.lon_idx_sql('lon'))} AS lon_lower,
+  ({sqlgen.cell_lat0_sql(sqlgen.lat_idx_sql('lat'))} + {D(GRID.dlat)})
+    AS lat_above,
+  ({sqlgen.cell_lon0_sql(sqlgen.lon_idx_sql('lon'))} + {D(GRID.dlon)})
+    AS lon_above
+FROM pts
+""",
+)
+def nearest_grid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linspace::nearest_lower / nearest_above (src/linspace.rs:163-179)
+    vectorized over a point table, with grid-edge clamping."""
+    pts = event_points(spark, sf_dir)
+    lat_low = sqlgen.cell_lat0_sql(sqlgen.lat_idx_sql("lat"))
+    lon_low = sqlgen.cell_lon0_sql(sqlgen.lon_idx_sql("lon"))
+    return pts.selectExpr(
+        "id",
+        f"{lat_low} as lat_lower",
+        f"{lon_low} as lon_lower",
+        f"({lat_low} + {D(GRID.dlat)}) as lat_above",
+        f"({lon_low} + {D(GRID.dlon)}) as lon_above",
+    )
+
+
+# ------------------------------------------------ timeseries + cross dims
+
+@register(
+    "timeseries_cells",
+    oracle=f"""
+SELECT s.slot, l.lat_i,
+       {sqlgen.corner_tec_sql('l.lat_i', '0', 's.slot')} AS tec_west
+FROM (SELECT unnest(range(0, {GRID.n_slots})) AS slot) s
+CROSS JOIN (SELECT unnest(range(0, {GRID.nlat})) AS lat_i) l
+""",
+)
+def timeseries_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeSeries enumeration x grid dimension (sequence + explode +
+    crossJoin) — the reference's timeseries x lat_pairs cartesian
+    (src/lib.rs:929-930, src/header/mod.rs:126-132)."""
+    slots = spark.range(GRID.n_slots).selectExpr("id as slot")
+    lats = spark.range(GRID.nlat).selectExpr("id as lat_i")
+    j = slots.crossJoin(lats)
+    return j.selectExpr(
+        "slot", "lat_i",
+        f"{sqlgen.corner_tec_sql('lat_i', '0', 'slot')} as tec_west",
+    )
+
+
+# --------------------------------------------------------- general OLAP
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+         AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregate.  Float sums are order-dependent
+    across engines, so money columns are summed as DECIMAL (exact,
+    associative) and cast to double at the end — the engine's standard
+    recipe for reproducible aggregates."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter("l_shipdate <= timestamp '1998-09-01 00:00:00'")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+            ).alias("sum_qty"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,2))) as double)"
+            ).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_orders_customers",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+         AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + rollup (customer is the small side)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 2
+""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (deterministic tie-break)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 2")
+        .selectExpr(
+            "o_custkey", "cast(rank as bigint) as rank",
+            "o_orderkey", "o_totalprice",
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS tsec
+  FROM events
+),
+gaps AS (
+  SELECT user_id, event_id, tsec,
+         CASE WHEN tsec - lag(tsec) OVER w > 1800 OR
+                   lag(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(tsec) AS session_start, max(tsec) AS session_end
+FROM (
+  SELECT user_id, event_id, tsec,
+         sum(new_s) OVER (PARTITION BY user_id
+                          ORDER BY tsec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap detection + running-sum session ids
+    (30-minute gap) — lag/cumsum windows (SURVEY.md §2.5 family)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id", "unix_timestamp(ts) as tsec"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gaps = ev.withColumn(
+        "new_s",
+        F.expr(
+            "CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id"
+            " ORDER BY tsec, event_id) > 1800 OR lag(tsec) OVER"
+            " (PARTITION BY user_id ORDER BY tsec, event_id) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tsec").alias("session_start"),
+        F.max("tsec").alias("session_end"),
+    )
+
+
+@register(
+    "windowed_event_counts",
+    oracle="""
+SELECT (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) - (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) % 3600))
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (batch twin of the streaming
+    windowed rollup in streaming/stream.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.selectExpr(
+            "unix_timestamp(ts) - (unix_timestamp(ts) % 3600)"
+            " as window_start",
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "cast(sum(cast(value as decimal(18,6))) as double)"
+            ).alias("sum_value"),
+        )
+    )
+
+
+# ------------------------------------------------ geodesic cell metrics
+
+@register("cell_geodesic_metrics")  # no SQL oracle: iterative RK4 kernel
+def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell geodesic perimeter/area (MapCell::geodesic_perimeter/area,
+    src/cell/mod.rs:296-303) as an Arrow-batched pandas UDF over the slot-0
+    cell dimension.  Golden-pinned in tests/test_geodesic.py; registered
+    rows-only because the kernel is an iterative ODE solve that plain SQL
+    cannot reproduce."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from ionex_spark.operators import spatial
+
+    cells = spatial.build_tec_cells(spark).filter("slot = 0").selectExpr(
+        "lat_i", "lon_i",
+        f"{sqlgen.cell_lat0_sql('lat_i')} as lat0",
+        f"{sqlgen.cell_lon0_sql('lon_i')} as lon0",
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ionex_spark.core import geodesic as g
+
+        for pdf in it:
+            lat0 = pdf["lat0"].to_numpy()
+            lon0 = pdf["lon0"].to_numpy()
+            lat1 = lat0 + GRID.dlat
+            lon1 = lon0 + GRID.dlon
+            yield pd.DataFrame(
+                {
+                    "lat_i": pdf["lat_i"],
+                    "lon_i": pdf["lon_i"],
+                    "perimeter_m": np.atleast_1d(
+                        g.rect_geodesic_perimeter(lon0, lat0, lon1, lat1)
+                    ),
+                    "area_m2": np.atleast_1d(
+                        g.rect_geodesic_area(lon0, lat0, lon1, lat1)
+                    ),
+                }
+            )
+
+    return cells.mapInPandas(
+        fn, "lat_i bigint, lon_i bigint, perimeter_m double, area_m2 double"
+    )
