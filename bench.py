@@ -5,17 +5,18 @@ Prints ONE JSON line:
    "queries": {name: sec}, "sf": ..., plus throughput extras}
 
 Headline set:
-- tile_assign     flagship: 5M-point spatial join + bilinear + temporal
-                     + tile rollup (the north_rule metric; images/sec =
-                     rows / sec, reported as images_per_sec)
+- tile_assign        flagship: N-point (default 200M) spatial join +
+                     temporal bilinear interpolation + res-6 tile id +
+                     per-tile rollup (the north_rule metric; images/sec
+                     = rows/sec, reported as images_per_sec)
 - images_e2e         image+caption table WITH binary payloads: read ->
                      spatial join -> tile assign -> payload verify (PSNR +
                      caption) on a 1% sample -> noop sink
 - per-operator timings for the oracled query set at the given sf
 
-Scaling evidence (local[8] vs local[32]) is produced by
-tools/bench_scaling.py which shells out to this file with
-SPARK_GRAFT_CPUS overridden; results land in BENCH.md.
+Scaling evidence (N vs 4N cores) is produced by tools/bench_scaling.py
+which shells out to this file with SPARK_GRAFT_CPUS/ROWS/MEM/AQE
+overridden; results land in BENCH.md.
 """
 
 from __future__ import annotations
@@ -118,7 +119,17 @@ def images_e2e(spark):
 def main() -> None:
     from ionex_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_AQE", "1") == "0":
+        # AQE materializes each shuffle stage behind a driver-side barrier
+        # (fixed ~2s on this box) — negligible in production jobs, but it
+        # distorts short benchmark runs; the scaling tool disables it for
+        # BOTH parallelism levels (fair ratio), production keeps it on.
+        extra["spark.sql.adaptive.enabled"] = "false"
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
@@ -136,6 +147,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     if not ONLY or "tile_assign" in ONLY:
+        # one untimed warm-up materialization first: the first run in a
+        # fresh JVM pays whole-stage-codegen JIT compilation; steady-state
+        # throughput is what the 10^12-row design cares about
+        _noop_sink(flagship_tile_assign(spark))
         timed("tile_assign", lambda: _noop_sink(flagship_tile_assign(spark)))
         extras["images_per_sec"] = round(
             N_FLAGSHIP / timings["tile_assign"], 1

@@ -150,3 +150,75 @@ def embedding_near_dup_pairs(
     return j.filter(F.col("cos_sim") >= threshold).select(
         "id_a", "id_b", "bucket", "cos_sim"
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """IVF list assignment: each vector joins its nearest centroid.
+
+    ``centroids`` is a small (id, vec) table — broadcast; nearest by
+    cosine via the same JVM fold.  At 100 TB this is the build side of an
+    IVF index: one pass over the corpus, output partitioned/bucketed by
+    list_id so queries touch only nprobe lists."""
+    from pyspark.sql.window import Window
+
+    c = centroids.selectExpr(f"{id_col} as cent_id", f"{vec_col} as cvec")
+    j = corpus.select(id_col, vec_col).crossJoin(F.broadcast(c))
+    dot = DOT_SQL.format(a=vec_col, b="cvec")
+    na = NORM_SQL.format(a=vec_col)
+    nb = NORM_SQL.format(a="cvec")
+    j = j.withColumn("sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cent_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .selectExpr(id_col, vec_col, f"cent_id as {out}")
+    )
+
+
+def ivf_topk(
+    corpus_lists: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: probe the nprobe nearest lists only.
+
+    corpus_lists = output of ivf_assign (ideally written bucketed by
+    list_id).  Query cost ~ corpus * nprobe / n_lists."""
+    from pyspark.sql.window import Window
+
+    c = centroids.selectExpr(f"{id_col} as cent_id", f"{vec_col} as cvec")
+    q = queries.selectExpr(f"{id_col} as query_id", f"{vec_col} as qvec")
+    qc = q.crossJoin(F.broadcast(c))
+    dot = DOT_SQL.format(a="qvec", b="cvec")
+    na = NORM_SQL.format(a="qvec")
+    nb = NORM_SQL.format(a="cvec")
+    qc = qc.withColumn("sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("cent_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .selectExpr("query_id", "qvec", "cent_id as list_id")
+    )
+    j = corpus_lists.join(F.broadcast(probes), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot2 = DOT_SQL.format(a=vec_col, b="qvec")
+    na2 = NORM_SQL.format(a=vec_col)
+    nb2 = NORM_SQL.format(a="qvec")
+    j = j.withColumn("cos_sim", F.expr(f"({dot2}) / (({na2}) * ({nb2}))"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "list_id", "cos_sim")
+    )

@@ -294,14 +294,74 @@ pairs AS (
   FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, bucket, cos_sim FROM pairs
-WHERE cos_sim >= cast(0.9 as double)
+WHERE cos_sim >= cast(0.35 as double)
 """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify
     (the dedup brief's embedding-cosine near-dup operator)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.35 picked against the synthetic embeddings' in-bucket cosine
+    # distribution (max ~0.47) so the verify stage has real work to do
     out = sim.embedding_near_dup_pairs(
-        emb, threshold=0.9, n_planes=LSH_PLANES, dim=EMB_DIM
+        emb, threshold=0.35, n_planes=LSH_PLANES, dim=EMB_DIM
     )
     return out
+
+
+_CENT = "SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0"
+_Q = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0"
+
+
+@register(
+    "similarity_ivf",
+    oracle=f"""
+WITH cent AS ({_CENT}),
+q AS ({_Q}),
+assign AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS list_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ({_duck_dot('e.embedding', 'c.cvec')})
+             / (({_duck_norm('e.embedding')}) * ({_duck_norm('c.cvec')}))
+             DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qvec, list_id FROM (
+    SELECT q.query_id, q.qvec, c.cent_id AS list_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             ({_duck_dot('q.qvec', 'c.cvec')})
+             / (({_duck_norm('q.qvec')}) * ({_duck_norm('c.cvec')}))
+             DESC, c.cent_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, a.list_id,
+         ({_duck_dot('a.embedding', 'p.qvec')})
+         / (({_duck_norm('a.embedding')}) * ({_duck_norm('p.qvec')}))
+           AS cos_sim
+  FROM assign a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, rank, vec_id, list_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: nearest-centroid list assignment + nprobe=2 probe —
+    the brief's 'IVF variant as the scale path'."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter("vec_id % 50 = 0")
+    queries = emb.filter("vec_id % 100 = 0")
+    lists = sim.ivf_assign(emb, centroids)
+    out = sim.ivf_topk(lists, queries, centroids, k=5, nprobe=2)
+    return out.selectExpr(
+        "query_id", "cast(rank as bigint) as rank",
+        "vec_id", "list_id", "cos_sim",
+    )

@@ -436,3 +436,70 @@ def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.mapInPandas(
         fn, "lat_i bigint, lon_i bigint, perimeter_m double, area_m2 double"
     )
+
+
+# ---------------------------------------------- Cell3x3 neighborhood ops
+
+_TP2 = f"""
+  SELECT cast(floor(g.range / {GRID.nlat * GRID.nlon}) as bigint) AS slot,
+         cast(floor((g.range % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) AS lat_i,
+         (g.range % {GRID.nlon}) AS lon_i
+  FROM range({2 * GRID.nlat * GRID.nlon}) g
+"""
+
+@register(
+    "grid_3x3_mean",
+    oracle=f"""
+WITH pts AS (
+  SELECT slot, lat_i, lon_i,
+         {sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} AS tecu
+  FROM ({_TP2})
+),
+offs AS (
+  SELECT di.d AS di, dj.d AS dj
+  FROM (VALUES (-1),(0),(1)) di(d), (VALUES (-1),(0),(1)) dj(d)
+),
+neigh AS (
+  SELECT p.slot, p.lat_i - o.di AS lat_i,
+         ((p.lon_i - o.dj) % {GRID.nlon} + {GRID.nlon}) % {GRID.nlon} AS lon_i,
+         p.tecu
+  FROM pts p CROSS JOIN offs o
+)
+SELECT n.slot, n.lat_i, n.lon_i,
+       count(*) AS n_neighbors,
+       cast(sum(cast(n.tecu as decimal(18,6))) as double)
+         / cast(count(*) as double) AS mean_tec
+FROM neigh n
+WHERE n.lat_i BETWEEN 0 AND {GRID.nlat - 1}
+GROUP BY n.slot, n.lat_i, n.lon_i
+""",
+)
+def grid_3x3_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell3x3 neighborhood rollup (reference src/cell/three_by_three.rs:
+    37-64): 3x3 mean filter over the grid, longitude wrapping, latitude
+    clamped at the poles — offsets explode + groupBy(center)."""
+    n = 2 * GRID.nlat * GRID.nlon
+    pts = spark.range(n).selectExpr(
+        f"cast(floor(id / {GRID.nlat * GRID.nlon}) as bigint) as slot",
+        f"cast(floor((id % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) as lat_i",
+        f"id % {GRID.nlon} as lon_i",
+    ).selectExpr(
+        "slot", "lat_i", "lon_i",
+        f"{sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} as tecu",
+    )
+    offs = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)], "di int, dj int"
+    )
+    neigh = pts.crossJoin(F.broadcast(offs)).selectExpr(
+        "slot",
+        "lat_i - di as lat_i",
+        f"((lon_i - dj) % {GRID.nlon} + {GRID.nlon}) % {GRID.nlon} as lon_i",
+        "tecu",
+    ).filter(f"lat_i between 0 and {GRID.nlat - 1}")
+    return neigh.groupBy("slot", "lat_i", "lon_i").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.expr(
+            "cast(sum(cast(tecu as decimal(18,6))) as double)"
+            " / cast(count(*) as double)"
+        ).alias("mean_tec"),
+    )

@@ -58,3 +58,55 @@ def windowed_tile_counts(
             "sum_tec",
         )
     )
+
+
+# ------------------------------------------------ custom stateful operator
+
+STATE_SCHEMA = "n bigint, sum_tec double"
+TILE_STATS_SCHEMA = (
+    "tile_id bigint, n_total bigint, mean_tec double, batch_rows bigint"
+)
+
+
+def _tile_stats_fn(key, pdf_iter, state):
+    """Running per-tile statistics across micro-batches (GroupState).
+
+    State = (row count, TEC sum) per tile; each micro-batch emits the
+    tile's cumulative count/mean plus this batch's row count — the
+    streaming twin of the batch rollup, with explicit state instead of a
+    shuffle-side hash map."""
+    import pandas as pd
+
+    n, s = state.get if state.exists else (0, 0.0)
+    batch_rows = 0
+    for pdf in pdf_iter:
+        batch_rows += len(pdf)
+        n += len(pdf)
+        s += float(pdf["tec"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {
+            "tile_id": [key[0]],
+            "n_total": [n],
+            "mean_tec": [s / n if n else 0.0],
+            "batch_rows": [batch_rows],
+        }
+    )
+
+
+def streaming_tile_stats(tiled: DataFrame) -> DataFrame:
+    """Custom stateful rollup via applyInPandasWithState (north_star's
+    'custom stateful operators' requirement)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        tiled.select("tile_id", "tec")
+        .groupBy("tile_id")
+        .applyInPandasWithState(
+            _tile_stats_fn,
+            outputStructType=TILE_STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -46,6 +46,10 @@ def run_once(cpus: int) -> dict:
                 "SPARK_GRAFT_BENCH_ROWS", "800000000"
             ),
             "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "32g"),
+            # fixed AQE stage-barrier cost (~2s/driver) is parallelism-
+            # independent and would bias the ratio on short runs; disabled
+            # at BOTH levels here, kept on in production (skew backstop)
+            "SPARK_GRAFT_AQE": os.environ.get("SPARK_GRAFT_AQE", "0"),
         }
     )
     out = subprocess.run(
@@ -94,8 +98,9 @@ def main() -> None:
             f"""
 ## Scaling evidence {summary['ts']}
 
-Flagship job: 5M synthetic image-points -> aligned bilinear broadcast join
--> temporal bracket join -> res-6 tile id -> per-tile rollup (noop sink).
+Flagship job: {j['flagship_rows']:,} synthetic image-points -> temporal
+bilinear spatial join (single cell-pair broadcast probe) -> res-6 tile id
+-> per-tile rollup (noop sink); warm-run timing, AQE off at both levels.
 Identical input at both parallelism levels; best of {RUNS} runs.
 
 | parallelism | best wall (s) | throughput (rows/s) |
