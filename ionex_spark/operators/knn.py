@@ -54,12 +54,21 @@ def knn_grid_points(
             "lon_i": F.expr(sqlgen.lon_idx_sql(lon)),
         }
     )
-    cand = p.crossJoin(F.broadcast(offsets_df(spark)))
+    # candidate fan-out as a NARROW explode of a 16-element literal array
+    # (a crossJoin with a 16-row table would plan a BroadcastNestedLoop
+    # join — same output, one more exchange + join operator for nothing)
+    offs = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di, dj in OFFSETS
+        ]
+    )
+    cand = p.select("*", F.explode(offs).alias("o"))
     # drop (not clamp) out-of-grid candidates: no duplicates, no extra
     # shuffle; edge windows keep >= 3x3 candidates which still provably
     # contain the top-4 for this grid's aspect ratio
     cand = cand.withColumns(
-        {"g_lat_i": F.expr("lat_i + di"), "g_lon_i": F.expr("lon_i + dj")}
+        {"g_lat_i": F.expr("lat_i + o.di"), "g_lon_i": F.expr("lon_i + o.dj")}
     ).filter(
         F.expr(
             f"g_lat_i between 0 and {g.nlat - 1}"

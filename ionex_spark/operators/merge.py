@@ -1,0 +1,66 @@
+"""IONEX merge — keyed union preferring lhs + header qc semantics.
+
+Mirrors the reference's qc-feature merge (src/lib.rs:1290-1323):
+- record merge: full outer join on the grid key, lhs wins, rhs fills
+  missing keys AND missing RMS/height fields (src/record/qc.rs:12-31);
+- header merge: min first epoch, max last epoch, min sampling interval,
+  comment union + a "FILE MERGE" tag (src/header/qc.rs:13-97);
+- merged-file predicate: comments contain "FILE MERGE" (src/lib.rs:547-554).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ionex_spark.core.ionex_io import IonexHeader
+
+MERGE_TAG = "FILE MERGE"
+
+KEY = ["epoch", "lat", "lon", "alt"]
+
+
+def merge_tec_points(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """Keyed union preferring lhs; rhs fills missing keys and missing
+    nullable fields (rms_q) on shared keys."""
+    l = lhs.select(*KEY, "tecu_q", "exp", "rms_q")
+    r = rhs.select(
+        *KEY,
+        F.col("tecu_q").alias("r_tecu_q"),
+        F.col("exp").alias("r_exp"),
+        F.col("rms_q").alias("r_rms_q"),
+    )
+    m = l.join(r, KEY, "full_outer")
+    return m.select(
+        *KEY,
+        F.coalesce("tecu_q", "r_tecu_q").alias("tecu_q"),
+        F.coalesce("exp", "r_exp").alias("exp"),
+        F.coalesce("rms_q", "r_rms_q").alias("rms_q"),
+    )
+
+
+def merge_headers(a: IonexHeader, b: IonexHeader) -> IonexHeader:
+    """min/max epoch span, min sampling, comment union + FILE MERGE tag."""
+    comments = list(dict.fromkeys(a.comments + b.comments))
+    if MERGE_TAG not in comments:
+        comments.append(MERGE_TAG)
+    return IonexHeader(
+        version=a.version,
+        program=a.program,
+        run_by=a.run_by,
+        description=list(dict.fromkeys(a.description + b.description)),
+        map_dimension=a.map_dimension,
+        grid=a.grid,
+        interval_s=min(a.interval_s, b.interval_s),
+        epoch_first=min(a.epoch_first, b.epoch_first),
+        epoch_last=max(a.epoch_last, b.epoch_last),
+        number_of_maps=0,  # recomputed from the merged record at export
+        elevation_cutoff=a.elevation_cutoff,
+        mapping_function=a.mapping_function,
+        base_radius_km=a.base_radius_km,
+        exponent=a.exponent,
+        comments=comments,
+    )
+
+
+def is_merged(header: IonexHeader) -> bool:
+    return any(MERGE_TAG in c for c in header.comments)

@@ -503,3 +503,52 @@ def grid_3x3_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / cast(count(*) as double)"
         ).alias("mean_tec"),
     )
+
+
+# --------------------------------------------------- grid resample (regrid)
+
+@register(
+    "grid_resample",
+    oracle=f"""
+WITH newpts AS (
+  SELECT cast(floor(g.range / 145) as bigint) AS lat_j,
+         (g.range % 145) AS lon_j,
+         ({D(-87.5)} + cast(floor(g.range / 145) as bigint) * {D(1.25)}) AS lat,
+         ({D(-180.0)} + (g.range % 145) * {D(2.5)}) AS lon
+  FROM range({141 * 145}) g
+),
+idx AS (
+  SELECT lat_j, lon_j, lat, lon,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM newpts
+)
+SELECT lat_j, lon_j,
+       {sqlgen.bilinear_sql(
+           sqlgen.frac_p_sql('lat', 'lat_i'),
+           sqlgen.frac_q_sql('lon', 'lon_i'),
+           sqlgen.corner_tec_sql('lat_i', 'lon_i', '0'),
+           sqlgen.corner_tec_sql('lat_i', '(lon_i + 1)', '0'),
+           sqlgen.corner_tec_sql('(lat_i + 1)', 'lon_i', '0'),
+           sqlgen.corner_tec_sql('(lat_i + 1)', '(lon_i + 1)', '0'),
+       )} AS tec
+FROM idx
+""",
+)
+def grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regrid to 2x finer spacing (dlat 1.25, dlon 2.5): enumerate the new
+    grid, bilinear-interpolate from the old grid via the engine's spatial
+    join.  Completes the reference's unfinished resample path
+    (src/linspace.rs:98-116 resample spec; src/lib.rs:689-912 stretching
+    left commented) with the documented kernel as the contract."""
+    from ionex_spark.operators import spatial
+
+    newpts = spark.range(141 * 145).selectExpr(
+        "cast(floor(id / 145) as bigint) as lat_j",
+        "id % 145 as lon_j",
+        f"({D(-87.5)} + cast(floor(id / 145) as bigint) * {D(1.25)}) as lat",
+        f"({D(-180.0)} + (id % 145) * {D(2.5)}) as lon",
+    ).selectExpr("lat_j", "lon_j", "lat", "lon", "0 as slot")
+    cells = spatial.build_tec_cells(spark, n_slots=1)
+    out = spatial.spatial_join_bilinear(newpts, cells)
+    return out.select("lat_j", "lon_j", "tec")

@@ -55,8 +55,11 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "alt": np.full(n, header.grid.alt.start),
                     "tecu_q": long["tecu_q"],
                     "exp": np.full(n, header.exponent, dtype=np.int32),
+                    # 9999 sentinel -> NULL (src/record/parsing.rs:146-150)
                     "rms_q": (
-                        long["rms_q"]
+                        np.where(
+                            long["rms_q"] == 9999, np.nan, long["rms_q"]
+                        )
                         if long["rms_q"] is not None
                         else np.full(n, np.nan)
                     ),
@@ -94,11 +97,7 @@ def export_ionex(
     lat0, dlat = lat_vals[0], (g.lat.spacing if len(lat_vals) > 1 else 1.0)
     lon0, dlon = lon_vals[0], (g.lon.spacing if len(lon_vals) > 1 else 1.0)
 
-    def fmt_epoch(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        dense = np.full((nlat, nlon), 9999, dtype=np.int64)
-        li = np.rint((pdf["lat"].to_numpy() - lat0) / dlat).astype(int)
-        lo = np.rint((pdf["lon"].to_numpy() - lon0) / dlon).astype(int)
-        dense[li, lo] = pdf["tecu_q"].to_numpy()
+    def raster_lines(vals: np.ndarray) -> str:
         lines: list[str] = []
         for r in range(nlat):
             spec = (
@@ -106,18 +105,37 @@ def export_ionex(
                 f"{g.lon.spacing:6.1f}{g.alt.start:6.1f}"
             )
             lines.append(f"{spec:<60}LAT/LON1/LON2/DLON/H")
-            row = dense[r]
+            row = vals[r]
             for off in range(0, nlon, 16):
                 lines.append(
                     "".join(f"{int(v):5}" for v in row[off : off + 16])
                 )
+        return "\n".join(lines)
+
+    def fmt_epoch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        dense = np.full((nlat, nlon), 9999, dtype=np.int64)
+        li = np.rint((pdf["lat"].to_numpy() - lat0) / dlat).astype(int)
+        lo = np.rint((pdf["lon"].to_numpy() - lon0) / dlon).astype(int)
+        dense[li, lo] = pdf["tecu_q"].to_numpy()
+        rms_block = None
+        if "rms_q" in pdf.columns and pdf["rms_q"].notna().any():
+            rms = np.full((nlat, nlon), 9999, dtype=np.int64)
+            mask = pdf["rms_q"].notna().to_numpy()
+            rms[li[mask], lo[mask]] = (
+                pdf["rms_q"].to_numpy()[mask].astype(np.int64)
+            )
+            rms_block = raster_lines(rms)
         return pd.DataFrame(
-            {"epoch": [key[0]], "block": ["\n".join(lines)]}
+            {
+                "epoch": [key[0]],
+                "block": [raster_lines(dense)],
+                "rms_block": [rms_block],
+            }
         )
 
     blocks = (
         tec_points.groupBy("epoch")
-        .applyInPandas(fmt_epoch, "epoch timestamp, block string")
+        .applyInPandas(fmt_epoch, "epoch timestamp, block string, rms_block string")
         .orderBy("epoch")
         .collect()
     )
@@ -137,6 +155,16 @@ def export_ionex(
         out.extend(_fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"))
         out.append(row["block"])
         out.extend(_fmt_line(f"{i + 1:6}", "END OF TEC MAP"))
+    # RMS pass after all TEC maps (reference src/record/formatting.rs:119-201)
+    if any(row["rms_block"] is not None for row in blocks):
+        for i, row in enumerate(blocks):
+            if row["rms_block"] is None:
+                continue
+            e = np.datetime64(row["epoch"])
+            out.extend(_fmt_line(f"{i + 1:6}", "START OF RMS MAP"))
+            out.extend(_fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"))
+            out.append(row["rms_block"])
+            out.extend(_fmt_line(f"{i + 1:6}", "END OF RMS MAP"))
     out.extend(_fmt_line("", "END OF FILE"))
     text = "\n".join(out) + "\n"
     if out_path.endswith(".gz"):

@@ -1,0 +1,77 @@
+"""Physical-plan invariants the 100 TB design depends on."""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_images_bytes_column_pruned(spark, tmp_path):
+    """Payload discipline (SURVEY.md §4.2): when the pipeline doesn't
+    decode, the binary column must not even be READ from parquet."""
+    from ionex_spark.operators import spatial
+    from ionex_spark.sources.images import images_df
+
+    path = str(tmp_path / "imgs")
+    images_df(spark, 200, partitions=2).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    lean = spatial.spatial_join_bilinear(imgs, spatial.build_tec_cells(spark))
+    lean = lean.select("image_id", "tec")
+    plan = _plan(lean)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    # compare only the ReadSchema struct (the line also contains the tmp
+    # path, which happens to include this test's name)
+    schema = scan[0].split("ReadSchema:")[1]
+    assert "bytes" not in schema
+    assert "caption" not in schema
+
+
+def test_filter_pushdown_to_parquet(spark, tmp_path):
+    """Predicates on scan columns must reach the parquet reader."""
+    from ionex_spark.sources.images import images_df
+
+    path = str(tmp_path / "imgs2")
+    images_df(spark, 200, partitions=2).write.parquet(path)
+    df = spark.read.parquet(path).filter("w = 32").select("image_id", "w")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(w), EqualTo(w,32)]" in plan.replace(
+        "'", ""
+    ) or "PushedFilters" in plan and "EqualTo(w,32)" in plan
+
+
+def test_knn_has_no_nested_loop_join(spark):
+    """Candidate fan-out is a narrow explode, not a BroadcastNestedLoop."""
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import knn as knn_ops
+
+    pts = spark.range(100).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+    plan = _plan(knn_ops.knn_grid_points(pts, k=4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_temporal_join_single_broadcast_probe(spark):
+    """The bracket join is ONE BroadcastHashJoin on the packed key."""
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import spatial
+
+    pts = spark.range(100).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        f"{sqlgen.tsec_from_id_sql('id')} as tsec",
+    )
+    cells = spatial.build_tec_cells(spark)
+    plan = _plan(spatial.temporal_spatial_join(pts, cells))
+    # exactly one join in the point-side pipeline (grid-side pair build
+    # happens before the broadcast exchange)
+    point_side = plan.split("BroadcastExchange")[0]
+    assert point_side.count("BroadcastHashJoin") == 1

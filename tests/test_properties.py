@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the numpy core kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ionex_spark.core import (
+    bilinear,
+    bilinear_unit,
+    cell_decode,
+    cell_encode,
+    cell_parent,
+    quantize,
+    real_value,
+    temporal_weights,
+)
+
+lat_st = st.floats(-90.0, 90.0, allow_nan=False)
+lon_st = st.floats(-1000.0, 1000.0, allow_nan=False)
+frac_st = st.floats(0.0, 1.0, allow_nan=False)
+tec_st = st.floats(-500.0, 500.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-1e6, 1e6, allow_nan=False), st.integers(0, 4))
+def test_quantize_roundtrip_within_half_ulp(v, e):
+    # |real(quantize(v)) - v| <= 0.5 * 10^-e (quantization step)
+    q = quantize(v, e)
+    assert abs(real_value(q, e) - v) <= 0.5 * 10.0 ** (-e) + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(frac_st, frac_st, tec_st, tec_st, tec_st, tec_st)
+def test_bilinear_convex_combination(p, q, sw, se, nw, ne):
+    # inside the cell the result is a convex combination of the corners
+    v = bilinear_unit(p, q, sw, se, nw, ne)
+    lo, hi = min(sw, se, nw, ne), max(sw, se, nw, ne)
+    assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(frac_st, frac_st, tec_st)
+def test_bilinear_constant_field_exact(p, q, c):
+    assert bilinear_unit(p, q, c, c, c, c) == np.float64(
+        (1 - p) * (1 - q) * c + p * (1 - q) * c + q * (1 - p) * c + p * q * c
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(tec_st, tec_st, tec_st, tec_st)
+def test_bilinear_corner_exactness(sw, se, nw, ne):
+    # p/q in {0,1} return the corners under the reference's pairing:
+    # p weights SE, q weights NW (src/cell/mod.rs:421-429)
+    assert bilinear_unit(0.0, 0.0, sw, se, nw, ne) == sw
+    assert bilinear_unit(1.0, 0.0, sw, se, nw, ne) == se
+    assert bilinear_unit(0.0, 1.0, sw, se, nw, ne) == nw
+    assert bilinear_unit(1.0, 1.0, sw, se, nw, ne) == ne
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(0.0, 86399.0, allow_nan=False))
+def test_temporal_weights_partition_of_unity(t):
+    t0 = np.floor(t / 3600.0) * 3600.0
+    w0, w1 = temporal_weights(t, t0, t0 + 3600.0)
+    assert 0.0 <= w1 <= 1.0
+    assert w0 + w1 == 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(lat_st, lon_st, st.integers(0, 27))
+def test_cell_encode_decode_consistent(lat, lon, res):
+    c = cell_encode(lat, lon, res)
+    r, li, lo = cell_decode(c)
+    assert r == res
+    assert 0 <= li < (1 << res)
+    assert 0 <= lo < (1 << (res + 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, lon_st, st.integers(1, 27))
+def test_parent_is_encode_at_parent_res(lat, lon, res):
+    parent_res = res - 1
+    assert cell_parent(cell_encode(lat, lon, res), parent_res) == cell_encode(
+        lat, lon, parent_res
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, st.floats(-180.0, 180.0, exclude_max=True), st.integers(0, 20))
+def test_lon_wrap_invariance(lat, lon, res):
+    # adding/subtracting 360 loses low bits, so a point within an ulp of a
+    # cell boundary can legitimately land one cell over — exclude those
+    # (the documented wrap semantics are about geometry, not ulp edges)
+    from hypothesis import assume
+
+    edge = 180.0 / (1 << res)
+    frac = abs((lon + 180.0) / edge - round((lon + 180.0) / edge))
+    assume(frac * edge > 1e-7)
+    assert cell_encode(lat, lon, res) == cell_encode(lat, lon + 360.0, res)
+    assert cell_encode(lat, lon, res) == cell_encode(lat, lon - 720.0, res)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(-87.4, 87.4, allow_nan=False),
+    st.floats(-179.9, 179.9, allow_nan=False),
+)
+def test_bilinear_outside_cell_nan(lat, lon):
+    # a point strictly outside the queried cell must yield NaN
+    v = bilinear(lon + 10.0, lat, lon, lat - 1.0, 5.0, 2.5, 1, 2, 3, 4)
+    assert np.isnan(v)
