@@ -159,6 +159,8 @@ def main() -> None:
     if not ONLY or "images_e2e" in ONLY:
         ensure_images(spark)
         per_tile, checks = images_e2e(spark)
+        _noop_sink(per_tile)  # warm (codegen JIT + parquet footers)
+        per_tile, checks = images_e2e(spark)
         t0 = time.time()
         _noop_sink(per_tile)
         bad = checks.first()
@@ -168,6 +170,28 @@ def main() -> None:
         )
         extras["bad_payloads"] = int(bad.bad_payload or 0)
         extras["bad_captions"] = int(bad.bad_caption or 0)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ANN") == "1":
+        from ionex_spark.operators import similarity as sim_ops
+
+        N, DIM = 500_000, 64
+        corpus = spark.range(N).selectExpr(
+            "id as vec_id",
+            f"transform(sequence(0, {DIM - 1}), d -> cast(((vec_id * 31"
+            f" + d * 17) % 1009) - 504 as float) / cast(504.0 as float))"
+            " as embedding",
+        ).cache()
+        corpus.count()
+        qs = corpus.filter("vec_id % 5000 = 0")
+        timed("ann_brute_500k", lambda: sim_ops.brute_force_topk(
+            corpus, qs, k=10).count())
+        timed("ann_lsh_500k", lambda: sim_ops.lsh_bucket_topk(
+            corpus, qs, k=10, n_planes=4, dim=DIM).count())
+        cent = corpus.filter("vec_id % 25000 = 0")
+        lists = sim_ops.ivf_assign(corpus, cent).cache()
+        lists.count()
+        timed("ann_ivf_500k", lambda: sim_ops.ivf_topk(
+            lists, qs, cent, k=10, nprobe=2).count())
 
     bench_queries = (
         ONLY

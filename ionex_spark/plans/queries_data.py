@@ -365,3 +365,30 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cast(rank as bigint) as rank",
         "vec_id", "list_id", "cos_sim",
     )
+
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_counts_bpe",
+    oracle=f"""
+SELECT doc_id,
+       cast(len(regexp_extract_all(text, '{_BPE_PAT}')) as bigint)
+         AS n_subword,
+       cast({tx.token_count_sql('text')} as bigint) AS n_whitespace
+FROM documents
+""",
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the brief's 'whitespace + BPE-ish regex'):
+    whitespace tokens via replace-length arithmetic, subword-ish tokens via
+    a regex that splits alpha runs / digit runs / punctuation (same
+    semantics in Java regex and RE2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        f"cast(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) as bigint)"
+        " as n_subword",
+        f"cast({tx.token_count_sql('text')} as bigint) as n_whitespace",
+    )
