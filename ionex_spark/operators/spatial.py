@@ -188,3 +188,39 @@ def temporal_spatial_join(
     return j.withColumn(
         out, F.expr(f"(1.0 - w1) * {tec0} + w1 * {tec1}")
     ).drop("sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1")
+
+
+def bracket_irregular(
+    points: DataFrame,
+    epochs: DataFrame,
+    tsec_col: str = "tsec",
+    epoch_col: str = "esec",
+) -> DataFrame:
+    """Temporal bracketing for an IRREGULAR epoch axis.
+
+    The regular axis uses pure arithmetic (bracket_slot0_sql); when map
+    epochs are unevenly spaced (the reference's sorted-epochs
+    tuple_windows, src/lib.rs:1123-1137), build the interval table with a
+    lead() window over the distinct epochs and range-join
+    ``t0 <= t < t1``.  The epoch table is tiny -> broadcast, so the range
+    join is a BroadcastNestedLoop over a handful of intervals, not a
+    shuffle; output adds (t0, t1, w1)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(epoch_col)
+    intervals = (
+        epochs.select(epoch_col)
+        .distinct()
+        .withColumn("t1", F.lead(epoch_col).over(w))
+        .filter(F.col("t1").isNotNull())
+        .withColumnRenamed(epoch_col, "t0")
+    )
+    cond = (F.col(tsec_col) >= F.col("t0")) & (F.col(tsec_col) < F.col("t1"))
+    j = points.join(F.broadcast(intervals), cond, "inner")
+    return j.withColumn(
+        "w1",
+        F.expr(
+            f"(cast({tsec_col} as double) - cast(t0 as double))"
+            " / (cast(t1 as double) - cast(t0 as double))"
+        ),
+    )

@@ -552,3 +552,37 @@ def grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spatial.build_tec_cells(spark, n_slots=1)
     out = spatial.spatial_join_bilinear(newpts, cells)
     return out.select("lat_j", "lon_j", "tec")
+
+
+# ------------------------------------------- irregular-axis as-of bracket
+
+_IRREG_EPOCHS = "SELECT (s.s * s.s * 600) AS esec FROM (SELECT unnest(range(0, 13)) AS s) s"
+
+
+@register(
+    "asof_irregular",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+ep AS ({_IRREG_EPOCHS}),
+iv AS (
+  SELECT esec AS t0, lead(esec) OVER (ORDER BY esec) AS t1
+  FROM (SELECT DISTINCT esec FROM ep)
+)
+SELECT p.id, i.t0, i.t1,
+       (cast(p.tsec as double) - cast(i.t0 as double))
+       / (cast(i.t1 as double) - cast(i.t0 as double)) AS w1
+FROM pts p JOIN iv i ON p.tsec >= i.t0 AND p.tsec < i.t1
+WHERE i.t1 IS NOT NULL
+""",
+)
+def asof_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of bracketing on an irregular (quadratically spaced) epoch axis:
+    lead-window interval table + broadcast range join — the fallback the
+    regular-axis arithmetic can't cover (SURVEY.md §2.3 bracketing row)."""
+    from ionex_spark.operators import spatial
+    from ionex_spark.plans.queries import event_points
+
+    pts = event_points(spark, sf_dir)
+    epochs = spark.range(13).selectExpr("id * id * 600 as esec")
+    out = spatial.bracket_irregular(pts, epochs)
+    return out.select("id", "t0", "t1", "w1")
