@@ -13,25 +13,21 @@ each axis are exactly the offsets {-1, 0, 1, 2} from the cell's SW corner
 (offset 3 is dominated by 2, -2 by -1), so the 16-candidate window provably
 contains the true top-4 (and in practice top-k for k <= 8 away from edges).
 
-The candidate fan-out is a crossJoin with a 16-row literal DataFrame —
-Catalyst broadcasts it (BroadcastNestedLoopJoin over 16 rows = a narrow
-16x multiplier, no shuffle); the final ranking is the single shuffle, on
-the point id — unavoidable for a per-point top-k, and AQE coalesces it.
+The candidate fan-out is a NARROW explode of a 16-element literal array
+(no join at all — asserted in tests/test_plan_invariants.py); the final
+ranking is the single shuffle, on the point id — unavoidable for a
+per-point top-k, and AQE coalesces it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ionex_spark.functions import sqlgen
 from ionex_spark.functions.sqlgen import GRID
 
 OFFSETS = [(di, dj) for di in (-1, 0, 1, 2) for dj in (-1, 0, 1, 2)]
-
-
-def offsets_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(OFFSETS, "di int, dj int")
 
 
 def knn_grid_points(
@@ -46,7 +42,6 @@ def knn_grid_points(
     Output: (id, rank, g_lat_i, g_lon_i, g_lat, g_lon, dist2).
     Deterministic total order: (dist2, g_lat_i, g_lon_i) tie-break.
     """
-    spark = points.sparkSession
     g = GRID
     p = points.withColumns(
         {
