@@ -165,8 +165,14 @@ def polygon_rings() -> list[dict]:
                (0.0, 40.0), (0.0, 0.0)]
     dateline = [(150.0, -20.0), (179.5, -20.0), (179.5, 20.0), (150.0, 20.0),
                 (150.0, -20.0)]
+    # TRUE dateline-crossing ring (170E..170W): stored in SHIFTED
+    # longitudes (range 170..190); consumers shift western-hemisphere
+    # points by +360 before testing (pip.edges_df handles it)
+    crossing = [(170.0, -15.0), (190.0, -15.0), (190.0, 15.0),
+                (170.0, 15.0), (170.0, -15.0)]
     return [
         {"poly_id": "roi_rect", "ring": rect},
         {"poly_id": "concave", "ring": concave},
         {"poly_id": "dateline", "ring": dateline},
+        {"poly_id": "dateline_x", "ring": crossing, "lon_shifted": True},
     ]

@@ -33,25 +33,37 @@ from pyspark.sql.types import BooleanType
 
 
 def edges_from_rings(rings: Iterable[dict]) -> list[tuple]:
-    """[{poly_id, ring:[(x,y)..closed]}] -> edge rows (poly_id,x1,y1,x2,y2)."""
+    """[{poly_id, ring:[(x,y)..closed], lon_shifted?}] -> edge rows
+    (poly_id, x1, y1, x2, y2, shifted).
+
+    ``lon_shifted`` rings cross the antimeridian and are stored with
+    longitudes in [0, 360) east of Greenwich (e.g. 170..190); the point
+    side shifts negative longitudes by +360 for those polygons only."""
     rows = []
     for poly in rings:
         ring = poly["ring"]
+        shifted = 1 if poly.get("lon_shifted") else 0
         for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
-            rows.append((poly["poly_id"], float(x1), float(y1), float(x2), float(y2)))
+            rows.append(
+                (poly["poly_id"], float(x1), float(y1), float(x2),
+                 float(y2), shifted)
+            )
     return rows
 
 
 def edges_df(spark: SparkSession, rings: Iterable[dict]) -> DataFrame:
     return spark.createDataFrame(
         edges_from_rings(rings),
-        "poly_id string, x1 double, y1 double, x2 double, y2 double",
+        "poly_id string, x1 double, y1 double, x2 double, y2 double,"
+        " shifted int",
     )
 
 
 CROSSING_COND = (
     "((y1 <= {py} and {py} < y2) or (y2 <= {py} and {py} < y1))"
-    " and {px} < x1 + ({py} - y1) * (x2 - x1) / (y2 - y1)"
+    " and (CASE WHEN shifted = 1 AND {px} < cast(0.0 as double)"
+    " THEN {px} + cast(360.0 as double) ELSE {px} END)"
+    " < x1 + ({py} - y1) * (x2 - x1) / (y2 - y1)"
 )
 
 
@@ -77,18 +89,25 @@ def pip_winding_udf(rings: list[dict]):
     """Returns a pandas UDF (x, y) -> inside-any-polygon bool for large rings;
     the rings are captured in the closure (broadcast via task pickling)."""
     edges = [
-        np.array(
-            [(x1, y1, x2, y2) for _, x1, y1, x2, y2 in edges_from_rings([poly])]
+        (
+            np.array(
+                [
+                    (x1, y1, x2, y2)
+                    for _, x1, y1, x2, y2, _s in edges_from_rings([poly])
+                ]
+            ),
+            bool(poly.get("lon_shifted")),
         )
         for poly in rings
     ]
 
     @F.pandas_udf(BooleanType())
     def inside_any(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        px = xs.to_numpy(np.float64)[:, None]
+        px0 = xs.to_numpy(np.float64)[:, None]
         py = ys.to_numpy(np.float64)[:, None]
-        result = np.zeros(len(px), dtype=bool)
-        for e in edges:
+        result = np.zeros(len(px0), dtype=bool)
+        for e, shifted in edges:
+            px = np.where(shifted & (px0 < 0.0), px0 + 360.0, px0)
             x1, y1, x2, y2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
             spans = ((y1 <= py) & (py < y2)) | ((y2 <= py) & (py < y1))
             with np.errstate(divide="ignore", invalid="ignore"):

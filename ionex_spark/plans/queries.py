@@ -216,10 +216,10 @@ def knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _polygon_edges_values() -> str:
     rows = pip_ops.edges_from_rings(synth.polygon_rings())
     vals = ", ".join(
-        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
-        for pid, x1, y1, x2, y2 in rows
+        f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r}, {sh})"
+        for pid, x1, y1, x2, y2, sh in rows
     )
-    return f"(VALUES {vals}) edges(poly_id, x1, y1, x2, y2)"
+    return f"(VALUES {vals}) edges(poly_id, x1, y1, x2, y2, shifted)"
 
 
 @register(

@@ -65,7 +65,9 @@ def test_pip_known_points(spark):
     rings = synth.polygon_rings()
     df = spark.createDataFrame(
         [(1, 0.0, 0.0), (2, 35.0, 35.0), (3, 5.0, 20.0),
-         (4, 170.0, 0.0), (5, -25.0, -25.0)],
+         (4, 170.0, 0.0), (5, -25.0, -25.0),
+         (6, 179.0, 0.0), (7, -175.0, 0.0), (8, 160.0, 0.0),
+         (9, -160.0, 0.0)],
         "id bigint, lon double, lat double",
     )
     got = pip_ops.pip_edges_join(df, pip_ops.edges_df(spark, rings))
@@ -76,6 +78,12 @@ def test_pip_known_points(spark):
     assert (3, "concave") in hits        # inside concave arm
     assert (2, "concave") not in hits    # inside the notch
     assert (4, "dateline") in hits
+    # TRUE antimeridian crossing (170E..170W): both hemispheres inside,
+    # points west of 170E / east of 170W outside
+    assert (6, "dateline_x") in hits     # 179E, east side
+    assert (7, "dateline_x") in hits     # 175W, across the dateline
+    assert (8, "dateline_x") not in hits # 160E
+    assert (9, "dateline_x") not in hits # 160W
 
 
 # ----------------------------------------------------------------- dedup
