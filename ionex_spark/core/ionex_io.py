@@ -55,6 +55,10 @@ class IonexHeader:
     base_radius_km: float = 6371.0
     exponent: int = -1
     comments: list[str] = field(default_factory=list)
+    # filled by parse_ionex: exponent in effect for each returned TEC map
+    # (IONEX allows in-record EXPONENT updates, src/record/parsing.rs:72-84;
+    # a single header-level exponent cannot represent such files)
+    exp_per_map: list[int] | None = None
 
 
 def _fmt_line(content: str, marker: str) -> list[str]:
@@ -218,6 +222,7 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
     cur_lat_row = -1
     cur_vals: list[int] = []
     exponent = header.exponent
+    exp_of_map: dict[int, int] = {}
 
     def flush_row() -> None:
         nonlocal cur_vals
@@ -248,6 +253,8 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
                     else:
                         epochs.append(e)
                         cur_epoch_idx = len(epochs) - 1
+                if cur_kind == "TEC":
+                    exp_of_map.setdefault(cur_epoch_idx, exponent)
             elif "START OF TEC MAP" in marker:
                 flush_row()
                 cur_kind = "TEC"
@@ -259,6 +266,11 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
                 cur_kind = "HEIGHT"
                 maps.setdefault("HEIGHT", {})
             elif "EXPONENT" in marker:
+                # applies to values parsed AFTER this line; maps already
+                # flushed keep their exponent (association happens at the
+                # next EPOCH OF CURRENT MAP).  A mid-map update would need
+                # value-level exponents — rejected as out of scope, like
+                # the reference it would mis-scale only pathological files.
                 exponent = int(content.split()[0])
                 header.exponent = exponent
             elif "LAT/LON1/LON2/DLON/H" in marker:
@@ -281,6 +293,9 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
     ep = np.array(epochs, dtype="datetime64[s]")
     order = np.argsort(ep)
     ep = ep[order]
+    header.exp_per_map = [
+        exp_of_map.get(int(o), header.exponent) for o in order
+    ]
     tec = np.stack(
         [
             maps["TEC"].get(int(o), np.full((nlat, nlon), 9999, dtype=np.int64))

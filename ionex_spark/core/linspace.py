@@ -5,8 +5,14 @@ and ``Grid`` (/root/reference/src/grid.rs:29-38): a (start, end, spacing)
 triple held as integer-quantized values with a shared per-axis exponent.
 
 Golden semantics (src/linspace.rs:192-310):
-- length of (1, 180, 1) is 180; (1, 180, 0.5) is 360; a single-point space
-  (350, 350, 0) has length 1.
+- length of (1, 180, 1) is 180; a single-point space (350, 350, 0) has
+  length 1.  DOCUMENTED DEVIATION: the reference's ``length()`` is
+  ``floor(end / spacing)`` ignoring ``start`` (src/linspace.rs:153-155),
+  which returns 360 for (1, 180, 0.5) and a nonsensical 35 for the
+  lat axis (87.5, -87.5, -2.5); this engine computes the true inclusive
+  point count ((end-start)/spacing + 1 = 359 and 71 respectively), which
+  is what the reference's own parser effectively produces when walking
+  the grid (71 lat rows in the CKMG e2e tests, src/tests/v1.rs:211-223).
 - ``nearest_lower``: greatest grid line <= x (lat grid (-87.5, 87.5, 2.5)
   at -85.0 -> -85.0; lon grid (-180, 180, 5) at -179 -> -180).
 - spacing may be negative (IONEX lat axes run north->south,
@@ -64,6 +70,9 @@ class Linspace:
         """Greatest grid line <= x (NaN where x < min); vectorized."""
         asc = self.ascending()
         x = np.asarray(x, dtype=np.float64)
+        if asc.spacing == 0.0:  # single-point axis (e.g. alt 350..350)
+            out = np.where(x >= asc.start, asc.start, np.nan)
+            return out if out.shape else float(out)
         idx = np.floor((x - asc.start) / asc.spacing).astype(np.int64)
         idx = np.minimum(idx, len(asc) - 1)
         out = asc.start + idx * asc.spacing
@@ -74,6 +83,9 @@ class Linspace:
         """Smallest grid line >= x (NaN where x > max); vectorized."""
         asc = self.ascending()
         x = np.asarray(x, dtype=np.float64)
+        if asc.spacing == 0.0:
+            out = np.where(x <= asc.end, asc.end, np.nan)
+            return out if out.shape else float(out)
         idx = np.ceil((x - asc.start) / asc.spacing).astype(np.int64)
         idx = np.maximum(idx, 0)
         out = asc.start + idx * asc.spacing

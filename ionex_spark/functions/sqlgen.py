@@ -173,12 +173,23 @@ def cell_parent_sql(cell_id: str, res: int, parent_res: int) -> str:
 # ---------------------------------------------------- temporal bracketing
 
 def bracket_slot0_sql(tsec: str) -> str:
-    """t0 slot = floor(t / sampling) — the regular-axis fast path
-    (reference bracketing src/lib.rs:1123-1137 generalized to arithmetic)."""
-    return f"cast(floor(({tsec}) / {D(float(GRID.sampling_s))}) as bigint)"
+    """t0 slot = floor(t / sampling), clamped to the LAST interval so a
+    point exactly at the final map epoch brackets as (last-1, last) with
+    w1 = 1 — the reference's backward branch accepts t == t1
+    (src/cell/mod.rs:819) and the engine's numpy kernel allows w1 == 1.
+    Out-of-range epochs are rejected by the w1-in-[0,1] validity filter,
+    not by the clamp."""
+    raw = f"cast(floor(({tsec}) / {D(float(GRID.sampling_s))}) as bigint)"
+    return f"least({raw}, {GRID.n_slots - 2})"
 
 
 def bracket_w1_sql(tsec: str) -> str:
-    """weight of the upper bracket epoch, in [0, 1)."""
+    """weight of the upper bracket epoch; inside the map span it is in
+    [0, 1] (1 exactly at the last epoch); outside it leaves [0, 1] and the
+    caller's validity filter drops the row (reference TemporalMismatch)."""
     s = GRID.sampling_s
     return f"((({tsec}) - {bracket_slot0_sql(tsec)} * {D(float(s))}) / {D(float(s))})"
+
+
+def bracket_valid_sql(w1: str = "w1") -> str:
+    return f"(({w1}) >= {D(0.0)} and ({w1}) <= {D(1.0)})"

@@ -217,27 +217,62 @@ def simhash64(
     text_col: str = "text",
     backend: str = "md5",
 ) -> DataFrame:
-    """64-bit simhash over word unigrams: per bit, sign of sum(+/-1) across
-    token hashes.  Implemented as 64 conditional-sum aggregations over one
-    explode+groupBy (single shuffle); bit j from token-hash bit j."""
+    """64-bit simhash over word unigrams, output as FOUR 16-bit bands
+    (band_0..band_3 bigint).
+
+    Band b's 16 bits come from bits of an independent seed-b token hash:
+    per bit, sign of sum(+/-1) across the document's distinct tokens.
+    The band representation is the useful one at scale: candidate pairs
+    join on ANY equal band (standard 4-band/16-bit simhash blocking:
+    hamming distance <= 3 over the 64 bits guarantees at least one equal
+    band), and hamming distance = sum of per-band XOR popcounts."""
     toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
-    h = token_hash_sql("token", 0, backend)
-    toks = toks.withColumn("h", F.expr(h))
-    # sum of (2*bit-1) per bit position; bit j of the non-negative 60-bit
-    # hash extracted with pure integer ops: (h % 2^(j+1)) >= 2^j
+    toks = toks.withColumns(
+        {
+            f"h{b}": F.expr(token_hash_sql("token", b, backend))
+            for b in range(4)
+        }
+    )
+    # sum of (2*bit-1) per bit position; shiftright & 1 is sign-safe
+    # (xxhash64 yields negative int64s; a modulo-based test would read
+    # every bit of a negative hash as 0) and equals the DuckDB oracle's
+    # (h % 2^(j+1)) >= 2^j formula on the non-negative md5 hashes
     aggs = [
         F.sum(
             F.expr(
-                f"case when (h % {1 << (j + 1)}) >= {1 << j}"
+                f"case when (shiftright(h{b}, {j}) & 1) = 1"
                 f" then 1 else -1 end"
             )
-        ).alias(f"s_{j}")
+        ).alias(f"s_{b}_{j}")
+        for b in range(4)
         for j in range(16)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
-    bit_terms = " + ".join(
-        f"(case when s_{j} > 0 then {1 << j} else 0 end)" for j in range(16)
-    )
-    return sums.selectExpr(id_col, f"cast({bit_terms} as bigint) as simhash16")
+    band_exprs = [
+        "cast("
+        + " + ".join(
+            f"(case when s_{b}_{j} > 0 then {1 << j} else 0 end)"
+            for j in range(16)
+        )
+        + f" as bigint) as band_{b}"
+        for b in range(4)
+    ]
+    return sums.selectExpr(id_col, *band_exprs)
+
+
+def simhash_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup candidates: pairs sharing at least one 16-bit band
+    (guaranteed to include every pair within hamming distance 3)."""
+    out = None
+    for b in range(4):
+        a = sig.selectExpr(f"{id_col} as id_a", f"band_{b} as k")
+        c = sig.selectExpr(f"{id_col} as id_b", f"band_{b} as k")
+        p = a.join(c, "k").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()

@@ -195,6 +195,7 @@ def temporal_spatial_join(
             "w1": F.expr(sqlgen.bracket_w1_sql(tsec_col)),
         }
     ).withColumn("ck0", F.expr(packed_key_expr("slot0")))
+    p = p.filter(F.expr(sqlgen.bracket_valid_sql("w1")))
     pairs = build_tec_cell_pairs(cells)
     j = p.join(F.broadcast(pairs), "ck0", "inner").drop("ck0")
     p_expr = sqlgen.frac_p_sql(lat, "lat_i")
@@ -218,21 +219,27 @@ def bracket_irregular(
     epochs are unevenly spaced (the reference's sorted-epochs
     tuple_windows, src/lib.rs:1123-1137), build the interval table with a
     lead() window over the distinct epochs and range-join
-    ``t0 <= t < t1``.  The epoch table is tiny -> broadcast, so the range
-    join is a BroadcastNestedLoop over a handful of intervals, not a
-    shuffle; output adds (t0, t1, w1)."""
+    ``t0 <= t < t1`` (t == t1 accepted on the FINAL interval only — the
+    reference's backward branch at the last epoch).  The epoch table is
+    tiny -> broadcast, so the range join is a BroadcastNestedLoop over a
+    handful of intervals, not a shuffle; output adds (t0, t1, w1)."""
     from pyspark.sql.window import Window
 
     w = Window.orderBy(epoch_col)
+    wall = Window.partitionBy()
     intervals = (
         epochs.select(epoch_col)
         .distinct()
         .withColumn("t1", F.lead(epoch_col).over(w))
+        .withColumn("tmax", F.max(epoch_col).over(wall))
         .filter(F.col("t1").isNotNull())
         .withColumnRenamed(epoch_col, "t0")
     )
-    cond = (F.col(tsec_col) >= F.col("t0")) & (F.col(tsec_col) < F.col("t1"))
-    j = points.join(F.broadcast(intervals), cond, "inner")
+    cond = (F.col(tsec_col) >= F.col("t0")) & (
+        (F.col(tsec_col) < F.col("t1"))
+        | ((F.col(tsec_col) == F.col("t1")) & (F.col("t1") == F.col("tmax")))
+    )
+    j = points.join(F.broadcast(intervals), cond, "inner").drop("tmax")
     return j.withColumn(
         "w1",
         F.expr(

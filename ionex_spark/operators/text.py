@@ -19,9 +19,18 @@ def occ_sql(s: str, needle: str) -> str:
 
 
 def token_count_sql(s: str) -> str:
-    """Whitespace token count: split on single spaces, ignore empties."""
+    """Whitespace token count: split on spaces, ignore empty tokens —
+    consistent with dedup.tokens_exploded (runs of spaces don't inflate
+    the count; empty/all-space text counts 0)."""
     return (
-        f"(length(trim({s})) - length(replace(trim({s}), ' ', '')) + 1)"
+        f"size(filter(split({s}, ' '), x -> length(x) > 0))"
+    )
+
+
+def token_count_duckdb_sql(s: str) -> str:
+    """DuckDB spelling of token_count_sql (same VALUE)."""
+    return (
+        f"len(list_filter(string_split({s}, ' '), x -> length(x) > 0))"
     )
 
 

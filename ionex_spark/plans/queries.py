@@ -128,7 +128,7 @@ SELECT id, slot0, w1,
        ({sqlgen.D(1.0)} - w1) * {_TEC_EXPR_ORACLE.replace('slot', 'slot0')}
        + w1 * {_TEC_EXPR_ORACLE.replace('slot', '(slot0 + 1)')} AS tec
 FROM idx
-WHERE slot0 + 1 <= {GRID.n_slots - 1}
+WHERE {sqlgen.bracket_valid_sql('w1')}
 """,
 )
 def temporal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:

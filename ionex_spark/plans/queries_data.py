@@ -113,17 +113,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
 WITH toks AS ({_DUCK_UNIGRAMS}),
-h AS (SELECT doc_id, {dd.token_hash_duckdb_sql('token', 0)} AS h FROM toks),
+h AS (SELECT doc_id, {dd.token_hash_duckdb_sql('token', 0)} AS h0, {dd.token_hash_duckdb_sql('token', 1)} AS h1, {dd.token_hash_duckdb_sql('token', 2)} AS h2, {dd.token_hash_duckdb_sql('token', 3)} AS h3 FROM toks),
 sums AS (
-  SELECT doc_id, {', '.join(
-    f"sum(CASE WHEN (h % {1 << (j + 1)}) >= {1 << j} THEN 1 ELSE -1 END)"
-    f" AS s_{j}" for j in range(16)
-  )}
+  SELECT doc_id, sum(CASE WHEN (h0 % 2) >= 1 THEN 1 ELSE -1 END) AS s_0_0, sum(CASE WHEN (h0 % 4) >= 2 THEN 1 ELSE -1 END) AS s_0_1, sum(CASE WHEN (h0 % 8) >= 4 THEN 1 ELSE -1 END) AS s_0_2, sum(CASE WHEN (h0 % 16) >= 8 THEN 1 ELSE -1 END) AS s_0_3, sum(CASE WHEN (h0 % 32) >= 16 THEN 1 ELSE -1 END) AS s_0_4, sum(CASE WHEN (h0 % 64) >= 32 THEN 1 ELSE -1 END) AS s_0_5, sum(CASE WHEN (h0 % 128) >= 64 THEN 1 ELSE -1 END) AS s_0_6, sum(CASE WHEN (h0 % 256) >= 128 THEN 1 ELSE -1 END) AS s_0_7, sum(CASE WHEN (h0 % 512) >= 256 THEN 1 ELSE -1 END) AS s_0_8, sum(CASE WHEN (h0 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_0_9, sum(CASE WHEN (h0 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_0_10, sum(CASE WHEN (h0 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_0_11, sum(CASE WHEN (h0 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_0_12, sum(CASE WHEN (h0 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_0_13, sum(CASE WHEN (h0 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_0_14, sum(CASE WHEN (h0 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_0_15, sum(CASE WHEN (h1 % 2) >= 1 THEN 1 ELSE -1 END) AS s_1_0, sum(CASE WHEN (h1 % 4) >= 2 THEN 1 ELSE -1 END) AS s_1_1, sum(CASE WHEN (h1 % 8) >= 4 THEN 1 ELSE -1 END) AS s_1_2, sum(CASE WHEN (h1 % 16) >= 8 THEN 1 ELSE -1 END) AS s_1_3, sum(CASE WHEN (h1 % 32) >= 16 THEN 1 ELSE -1 END) AS s_1_4, sum(CASE WHEN (h1 % 64) >= 32 THEN 1 ELSE -1 END) AS s_1_5, sum(CASE WHEN (h1 % 128) >= 64 THEN 1 ELSE -1 END) AS s_1_6, sum(CASE WHEN (h1 % 256) >= 128 THEN 1 ELSE -1 END) AS s_1_7, sum(CASE WHEN (h1 % 512) >= 256 THEN 1 ELSE -1 END) AS s_1_8, sum(CASE WHEN (h1 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_1_9, sum(CASE WHEN (h1 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_1_10, sum(CASE WHEN (h1 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_1_11, sum(CASE WHEN (h1 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_1_12, sum(CASE WHEN (h1 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_1_13, sum(CASE WHEN (h1 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_1_14, sum(CASE WHEN (h1 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_1_15, sum(CASE WHEN (h2 % 2) >= 1 THEN 1 ELSE -1 END) AS s_2_0, sum(CASE WHEN (h2 % 4) >= 2 THEN 1 ELSE -1 END) AS s_2_1, sum(CASE WHEN (h2 % 8) >= 4 THEN 1 ELSE -1 END) AS s_2_2, sum(CASE WHEN (h2 % 16) >= 8 THEN 1 ELSE -1 END) AS s_2_3, sum(CASE WHEN (h2 % 32) >= 16 THEN 1 ELSE -1 END) AS s_2_4, sum(CASE WHEN (h2 % 64) >= 32 THEN 1 ELSE -1 END) AS s_2_5, sum(CASE WHEN (h2 % 128) >= 64 THEN 1 ELSE -1 END) AS s_2_6, sum(CASE WHEN (h2 % 256) >= 128 THEN 1 ELSE -1 END) AS s_2_7, sum(CASE WHEN (h2 % 512) >= 256 THEN 1 ELSE -1 END) AS s_2_8, sum(CASE WHEN (h2 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_2_9, sum(CASE WHEN (h2 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_2_10, sum(CASE WHEN (h2 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_2_11, sum(CASE WHEN (h2 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_2_12, sum(CASE WHEN (h2 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_2_13, sum(CASE WHEN (h2 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_2_14, sum(CASE WHEN (h2 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_2_15, sum(CASE WHEN (h3 % 2) >= 1 THEN 1 ELSE -1 END) AS s_3_0, sum(CASE WHEN (h3 % 4) >= 2 THEN 1 ELSE -1 END) AS s_3_1, sum(CASE WHEN (h3 % 8) >= 4 THEN 1 ELSE -1 END) AS s_3_2, sum(CASE WHEN (h3 % 16) >= 8 THEN 1 ELSE -1 END) AS s_3_3, sum(CASE WHEN (h3 % 32) >= 16 THEN 1 ELSE -1 END) AS s_3_4, sum(CASE WHEN (h3 % 64) >= 32 THEN 1 ELSE -1 END) AS s_3_5, sum(CASE WHEN (h3 % 128) >= 64 THEN 1 ELSE -1 END) AS s_3_6, sum(CASE WHEN (h3 % 256) >= 128 THEN 1 ELSE -1 END) AS s_3_7, sum(CASE WHEN (h3 % 512) >= 256 THEN 1 ELSE -1 END) AS s_3_8, sum(CASE WHEN (h3 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_3_9, sum(CASE WHEN (h3 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_3_10, sum(CASE WHEN (h3 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_3_11, sum(CASE WHEN (h3 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_3_12, sum(CASE WHEN (h3 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_3_13, sum(CASE WHEN (h3 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_3_14, sum(CASE WHEN (h3 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_3_15
   FROM h GROUP BY doc_id
 )
-SELECT doc_id, cast({' + '.join(
-    f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
-)} as bigint) AS simhash16
+SELECT doc_id, cast((CASE WHEN s_0_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_0_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_0_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_0_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_0_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_0_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_0_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_0_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_0_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_0_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_0_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_0_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_0_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_0_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_0_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_0_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_0, cast((CASE WHEN s_1_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_1_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_1_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_1_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_1_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_1_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_1_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_1_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_1_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_1_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_1_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_1_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_1_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_1_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_1_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_1_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_1, cast((CASE WHEN s_2_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_2_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_2_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_2_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_2_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_2_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_2_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_2_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_2_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_2_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_2_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_2_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_2_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_2_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_2_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_2_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_2, cast((CASE WHEN s_3_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_3_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_3_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_3_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_3_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_3_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_3_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_3_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_3_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_3_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_3_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_3_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_3_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_3_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_3_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_3_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_3
 FROM sums
 """,
 )
@@ -138,7 +133,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_features",
     oracle=f"""
 SELECT doc_id,
-       cast({tx.token_count_sql('text')} as bigint) AS n_tokens,
+       cast({tx.token_count_duckdb_sql('text')} as bigint) AS n_tokens,
        {tx.lang_id_sql('lower(text)')} AS lang_pred,
        {tx.quality_score_sql('text')} AS quality,
        {tx.fingerprint_sql('text')} AS fingerprint
@@ -376,7 +371,7 @@ _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 SELECT doc_id,
        cast(len(regexp_extract_all(text, '{_BPE_PAT}')) as bigint)
          AS n_subword,
-       cast({tx.token_count_sql('text')} as bigint) AS n_whitespace
+       cast({tx.token_count_duckdb_sql('text')} as bigint) AS n_whitespace
 FROM documents
 """,
 )

@@ -565,13 +565,15 @@ _IRREG_EPOCHS = "SELECT (s.s * s.s * 600) AS esec FROM (SELECT unnest(range(0, 1
 WITH pts AS ({_PTS_SQL}),
 ep AS ({_IRREG_EPOCHS}),
 iv AS (
-  SELECT esec AS t0, lead(esec) OVER (ORDER BY esec) AS t1
+  SELECT esec AS t0, lead(esec) OVER (ORDER BY esec) AS t1,
+         max(esec) OVER () AS tmax
   FROM (SELECT DISTINCT esec FROM ep)
 )
 SELECT p.id, i.t0, i.t1,
        (cast(p.tsec as double) - cast(i.t0 as double))
        / (cast(i.t1 as double) - cast(i.t0 as double)) AS w1
-FROM pts p JOIN iv i ON p.tsec >= i.t0 AND p.tsec < i.t1
+FROM pts p JOIN iv i ON p.tsec >= i.t0
+  AND (p.tsec < i.t1 OR (p.tsec = i.t1 AND i.t1 = i.tmax))
 WHERE i.t1 IS NOT NULL
 """,
 )

@@ -1,7 +1,10 @@
 """SparkSession factory with the engine's standard configuration profile.
 
-Tuned for correctness-vs-oracle (UTC session timezone, ANSI off) and for
-scale (AQE with skew-join splitting, Arrow batches for pandas UDFs).  On a
+Tuned for correctness-vs-oracle (UTC session timezone) and for scale
+(AQE with skew-join splitting, Arrow batches for pandas UDFs).  ANSI mode
+is left at the Spark 4 default (ON) deliberately: every oracled query is
+validated under ANSI (and under a bare default session), so overflow/
+index errors surface instead of silently wrapping.  On a
 real cluster the same profile applies; only master/shuffle-partitions vary.
 """
 

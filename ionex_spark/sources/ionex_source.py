@@ -47,6 +47,14 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             header, epochs, tec, rms = parse_ionex(raw.decode("ascii"))
             long = grids_to_long(header, epochs, tec, rms)
             n = len(long["tecu_q"])
+            # per-map exponent (legal mid-file EXPONENT updates)
+            exp_by_epoch = dict(
+                zip(np.asarray(epochs), header.exp_per_map or [])
+            )
+            row_exp = np.array(
+                [exp_by_epoch.get(e, header.exponent) for e in long["epoch"]],
+                dtype=np.int32,
+            ) if exp_by_epoch else np.full(n, header.exponent, np.int32)
             yield pd.DataFrame(
                 {
                     "epoch": pd.to_datetime(long["epoch"]),
@@ -54,7 +62,7 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "lon": long["lon"],
                     "alt": np.full(n, header.grid.alt.start),
                     "tecu_q": long["tecu_q"],
-                    "exp": np.full(n, header.exponent, dtype=np.int32),
+                    "exp": row_exp,
                     # 9999 sentinel -> NULL (src/record/parsing.rs:146-150)
                     "rms_q": (
                         np.where(

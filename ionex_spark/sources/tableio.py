@@ -89,7 +89,20 @@ class SnapshotTable:
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json"))
+        final = os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json")
+        # atomic commit with CONFLICT DETECTION: os.rename silently
+        # replaces on POSIX, so a concurrent committer could clobber a
+        # sibling snapshot; link() fails with EEXIST instead — the loser
+        # re-reads the parent and retries (optimistic concurrency, the
+        # same protocol an Iceberg catalog provides)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"snapshot {sid} was committed concurrently; retry append"
+            ) from e
+        os.unlink(tmp)
         return sid
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -133,9 +146,17 @@ class ResumableJob:
                 continue
             t0 = time.time()
             df = producer(spark)
-            rows = df.count()
             sid = self.table.append(
                 df, summary={"job_id": self.job_id, "chunk": name}
+            )
+            # count from the files just committed (parquet footer metadata
+            # only) instead of re-computing the chunk a second time
+            added = [
+                s_ for s_ in self.table.snapshots()
+                if s_["snapshot_id"] == sid
+            ][0]["added_files"]
+            rows = (
+                spark.read.parquet(*added).count() if added else 0
             )
             rec = {
                 "job_id": self.job_id,

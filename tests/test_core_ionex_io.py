@@ -167,3 +167,16 @@ def test_testpoint_vector_against_field():
             + q * (1 - p) * nw + p * q * ne
         )
         assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_mid_file_exponent_update():
+    """Legal in-record EXPONENT change: earlier maps keep their exponent,
+    later maps pick up the new one (src/record/parsing.rs:72-84)."""
+    hdr = make_header(2)
+    epochs, dense = make_grids(2)
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    idx = [i for i, l in enumerate(lines) if "START OF TEC MAP" in l][1]
+    lines.insert(idx, f"{'    -2':<60}EXPONENT")
+    h2, ep2, tec2, _ = parse_ionex("\n".join(lines) + "\n")
+    assert h2.exp_per_map == [-1, -2]
+    np.testing.assert_array_equal(tec2, dense)  # quantized values untouched

@@ -75,3 +75,13 @@ def test_worldwide_predicate_negative():
         alt=Linspace(350.0, 350.0, 0.0),
     )
     assert not g.is_worldwide()
+
+
+def test_nearest_single_point_axis():
+    alt = Linspace(350.0, 350.0, 0.0)
+    assert alt.nearest_lower(350.0) == 350.0
+    assert alt.nearest_lower(400.0) == 350.0
+    assert np.isnan(alt.nearest_lower(300.0))
+    assert alt.nearest_above(350.0) == 350.0
+    assert alt.nearest_above(300.0) == 350.0
+    assert np.isnan(alt.nearest_above(400.0))

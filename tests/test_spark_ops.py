@@ -122,12 +122,34 @@ def test_minhash_lsh_finds_near_dups(spark, backend):
 
 
 def test_simhash_similarity(spark):
-    out = dd.simhash64(_docs_df(spark), backend="xxhash64").toPandas()
-    s = out.set_index("doc_id")["simhash16"]
-    assert s[0] == s[1]  # identical docs -> identical simhash
-    ham = bin(int(s[0]) ^ int(s[2])).count("1")
-    ham_far = bin(int(s[0]) ^ int(s[3])).count("1")
-    assert ham <= ham_far  # near dup at most as far as unrelated doc
+    # long docs: simhash needs enough tokens for the sign-sums to be
+    # statistically meaningful (tiny docs give noisy distances)
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(
+        f"tok{i}" if i % 20 else f"changed{i}" for i in range(60)
+    )
+    other = " ".join(f"zulu{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, other)],
+        "doc_id bigint, text string",
+    )
+    out = dd.simhash64(docs, backend="xxhash64").toPandas()
+    sig = out.set_index("doc_id")
+
+    def ham(a, b):
+        return sum(
+            bin(int(sig.loc[a, f"band_{k}"]) ^ int(sig.loc[b, f"band_{k}"]))
+            .count("1")
+            for k in range(4)
+        )
+
+    assert ham(0, 1) == 0          # identical docs -> identical 64-bit hash
+    assert ham(0, 2) < ham(0, 3)   # 3/60 tokens changed << disjoint vocab
+    assert ham(0, 3) > 10          # unrelated docs far apart
+
+    pairs = dd.simhash_candidate_pairs(dd.simhash64(docs, backend="xxhash64"))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # hamming 0 -> all four bands collide
 
 
 # ------------------------------------------------------------ similarity

@@ -80,7 +80,8 @@ def main() -> None:
         }
     thr8 = results[LEVELS[0]]["rows_per_sec"]
     thr32 = results[LEVELS[1]]["rows_per_sec"]
-    eff = round((thr32 / thr8) / 4.0, 3)
+    ratio = LEVELS[1] / LEVELS[0]
+    eff = round((thr32 / thr8) / ratio, 3)
     summary = {
         "job": "tile_assign (spatial join + bilinear + temporal + tile rollup)",
         "rows": j["flagship_rows"],
@@ -108,7 +109,7 @@ Identical input at both parallelism levels; best of {RUNS} runs.
 | local[{LEVELS[0]}]  | {results[LEVELS[0]]['best_sec']:.2f} | {thr8:,.0f} |
 | local[{LEVELS[1]}] | {results[LEVELS[1]]['best_sec']:.2f} | {thr32:,.0f} |
 
-Scaling efficiency (thr_high/thr_low)/4 = **{eff}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})
+Scaling efficiency (thr_high/thr_low)/{ratio:g} = **{eff}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})
 Runs: local[{LEVELS[0]}] {results[LEVELS[0]]['runs_sec']}, local[{LEVELS[1]}] {results[LEVELS[1]]['runs_sec']}
 """
         )
