@@ -75,6 +75,10 @@ def hyperplane_sql(vec_col: str, plane: int, dim: int) -> str:
 
 def lsh_bucket_key(df: DataFrame, vec_col: str, n_planes: int, dim: int,
                    out: str = "bucket") -> DataFrame:
+    """Sign-bit bucket key.  Rows with vectors shorter than ``dim`` are
+    dropped first: under ANSI mode (Spark 4 default) an out-of-bounds
+    array index raises instead of returning NULL."""
+    df = df.filter(F.size(F.col(vec_col)) >= dim)
     bits = " + ".join(
         f"(case when {hyperplane_sql(vec_col, p, dim)} >= cast(0.0 as double)"
         f" then {1 << p} else 0 end)"
