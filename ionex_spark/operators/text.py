@@ -90,3 +90,20 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": F.expr(fingerprint_sql(text_col)),
         }
     )
+
+
+def rolling_hash_sql(s: str, dialect: str = "spark") -> str:
+    """Polynomial rolling hash over characters: h = (h*31 + ascii(c)) mod
+    1e9+7 — the classic document-fingerprint kernel, as a fold over the
+    char array (JVM-side in Spark, list_reduce in DuckDB; identical
+    values).  Modulus keeps the accumulator ANSI-overflow-safe."""
+    if dialect == "spark":
+        return (
+            f"aggregate(regexp_extract_all({s}, '.', 0), 0L,"
+            " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT))),"
+        " (acc, c) -> (acc * 31 + c) % 1000000007)"
+    )

@@ -387,3 +387,26 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as n_subword",
         f"cast({tx.token_count_sql('text')} as bigint) as n_whitespace",
     )
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       cast({tx.rolling_hash_sql("substr(text, 1, 128)", 'duckdb')} as bigint)
+         AS rhash,
+       {tx.fingerprint_sql('text')} AS md5_fingerprint
+FROM documents
+""",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a polynomial ROLLING HASH over the
+    document head (the brief's 'document fingerprinting (rolling hash)'),
+    alongside the md5 fingerprint."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        f"cast({tx.rolling_hash_sql('substr(text, 1, 128)', 'spark')}"
+        " as bigint) as rhash",
+        f"{tx.fingerprint_sql('text')} as md5_fingerprint",
+    )
