@@ -59,6 +59,10 @@ class IonexHeader:
     # (IONEX allows in-record EXPONENT updates, src/record/parsing.rs:72-84;
     # a single header-level exponent cannot represent such files)
     exp_per_map: list[int] | None = None
+    # filled by parse_ionex when the file carries HEIGHT maps — the
+    # reference leaves these as a TODO (src/record/parsing.rs:174-175);
+    # we parse them into a dense (T, nlat, nlon) grid like TEC/RMS
+    height_q: "np.ndarray | None" = None
 
 
 def _fmt_line(content: str, marker: str) -> list[str]:
@@ -307,6 +311,15 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
         rms = np.stack(
             [
                 maps["RMS"].get(int(o), np.full((nlat, nlon), 9999, np.int64))
+                for o in order
+            ]
+        )
+    if maps.get("HEIGHT"):
+        header.height_q = np.stack(
+            [
+                maps["HEIGHT"].get(
+                    int(o), np.full((nlat, nlon), 9999, np.int64)
+                )
                 for o in order
             ]
         )

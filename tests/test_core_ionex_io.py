@@ -180,3 +180,35 @@ def test_mid_file_exponent_update():
     h2, ep2, tec2, _ = parse_ionex("\n".join(lines) + "\n")
     assert h2.exp_per_map == [-1, -2]
     np.testing.assert_array_equal(tec2, dense)  # quantized values untouched
+
+
+def test_height_map_parsing():
+    """HEIGHT maps parse into header.height_q — beyond reference parity
+    (the reference leaves them TODO, src/record/parsing.rs:174-175)."""
+    from ionex_spark.core.ionex_io import _fmt_epoch_body
+    from ionex_spark.core.linspace import ckmg_grid
+
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    eof = lines.pop()
+    g = ckmg_grid()
+    lats = g.lat.values()
+    h = np.full(dense.shape[1:], 4500, np.int64)
+    lines += _fmt_line(f"{1:6}", "START OF HEIGHT MAP")
+    lines += _fmt_line(_fmt_epoch_body(epochs[0]), "EPOCH OF CURRENT MAP")
+    for r in range(h.shape[0]):
+        spec = (
+            f"  {lats[r]:6.1f}{g.lon.start:6.1f}{g.lon.end:6.1f}"
+            f"{g.lon.spacing:6.1f}{g.alt.start:6.1f}"
+        )
+        lines.append(f"{spec:<60}LAT/LON1/LON2/DLON/H")
+        row = h[r]
+        for off in range(0, len(row), 16):
+            lines.append("".join(f"{int(v):5}" for v in row[off:off + 16]))
+    lines += _fmt_line(f"{1:6}", "END OF HEIGHT MAP")
+    lines.append(eof)
+    h2, _, tec2, _ = parse_ionex("\n".join(lines) + "\n")
+    assert h2.height_q is not None and h2.height_q.shape == (1, 71, 73)
+    np.testing.assert_array_equal(h2.height_q[0], h)
+    np.testing.assert_array_equal(tec2, dense)
