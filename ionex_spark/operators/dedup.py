@@ -118,7 +118,7 @@ def minhash_signatures(
     text_col: str = "text",
     backend: str = "md5",
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) minhash signature over word unigrams.
+    """(id, mh_0..mh_{n-1}) minhash signature over word-trigram shingles.
 
     One explode + one groupBy: all n min-aggregations share the single
     shuffle on id (map-side combine keeps it small)."""

@@ -5,7 +5,8 @@ table layer with the same *semantics* the north_rule needs:
 
 - append-only commits: each commit writes parquet files under ``data/``
   and an immutable ``snapshot-N.json`` manifest (file list, parent id,
-  summary) — the commit is the atomic rename of the manifest;
+  summary) — the commit is an exclusive-create (hard link) of the
+  manifest, so concurrent committers conflict instead of clobbering;
 - time travel: ``read(spark, snapshot_id)`` reads exactly the files listed
   in that manifest (old snapshots never change);
 - checkpoint/resume: ``ResumableJob`` partitions work into named chunks;
