@@ -59,12 +59,12 @@ def epoch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT
-  sum(CASE WHEN slot =  12 THEN 1 ELSE 0 END) AS n_eq,
-  sum(CASE WHEN slot != 12 THEN 1 ELSE 0 END) AS n_ne,
-  sum(CASE WHEN slot >  12 THEN 1 ELSE 0 END) AS n_gt,
-  sum(CASE WHEN slot >= 12 THEN 1 ELSE 0 END) AS n_ge,
-  sum(CASE WHEN slot <  12 THEN 1 ELSE 0 END) AS n_lt,
-  sum(CASE WHEN slot <= 12 THEN 1 ELSE 0 END) AS n_le
+  CAST(sum(CASE WHEN slot =  12 THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+  CAST(sum(CASE WHEN slot != 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_ne,
+  CAST(sum(CASE WHEN slot >  12 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+  CAST(sum(CASE WHEN slot >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+  CAST(sum(CASE WHEN slot <  12 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt,
+  CAST(sum(CASE WHEN slot <= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_le
 FROM pts
 """,
 )
@@ -322,9 +322,10 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(tsec) AS session_start, max(tsec) AS session_end
 FROM (
   SELECT user_id, event_id, tsec,
-         sum(new_s) OVER (PARTITION BY user_id
-                          ORDER BY tsec, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id
+                               ORDER BY tsec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM gaps
 )
 GROUP BY user_id, session_id
@@ -392,13 +393,25 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ geodesic cell metrics
 
-@register("cell_geodesic_metrics")  # no SQL oracle: iterative RK4 kernel
+@register(
+    "cell_geodesic_metrics",
+    # The iterative quadrature kernel cannot be spelled in SQL; the oracle
+    # reads the pinned 5,040-row sidecar generated by
+    # tools/gen_geodesic_sidecar.py from THIS query's own output, while
+    # tests/test_geodesic.py independently pins the reference golden
+    # constants (src/cell/mod.rs:855-859) so the sidecar cannot silently
+    # drift from reference semantics.
+    oracle="""
+SELECT lat_i, lon_i, perimeter_m, area_m2
+FROM '/root/repo/ionex_spark/data/geodesic_golden.parquet'
+""",
+)
 def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell geodesic perimeter/area (MapCell::geodesic_perimeter/area,
     src/cell/mod.rs:296-303) as an Arrow-batched pandas UDF over the slot-0
-    cell dimension.  Golden-pinned in tests/test_geodesic.py; registered
-    rows-only because the kernel is an iterative ODE solve that plain SQL
-    cannot reproduce."""
+    cell dimension.  Golden-pinned in tests/test_geodesic.py; oracle is the
+    parquet sidecar twin (see tools/gen_geodesic_sidecar.py) because the
+    kernel is an iterative ODE solve that plain SQL cannot reproduce."""
     import pandas as pd
     from collections.abc import Iterator
 

@@ -56,6 +56,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return errs
+    # The driver hashes NATIVE values: a DuckDB decimal128 (sum(int)) vs a
+    # Spark bigint hash-mismatches even when numerically equal.  Flag any
+    # pre-normalization dtype-kind drift as a failure so it's caught here.
+    for c in sdf.columns:
+        sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
+        if sk != ok_ and {sk, ok_} != {"i", "u"}:
+            errs.append(
+                f"col {c}: native dtype drift (driver-hash hazard): "
+                f"spark={sdf[c].dtype} oracle={odf[c].dtype} — cast the "
+                f"oracle (e.g. CAST(sum(..) AS BIGINT)) to match"
+            )
+    if errs:
+        return errs
     a, b = normalize(sdf), normalize(odf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
