@@ -143,30 +143,29 @@ def lsh_candidate_pairs(
     Bands of ``band_size`` rows: P(candidate) = 1-(1-j^r)^b; with 8 hashes
     in 4 bands of 2 this catches ~0.96 of pairs at jaccard 0.8."""
     n_bands = n_hashes // band_size
+    # ONE packed bigint key per band: xxhash64(band_id, mh...) — a
+    # LongHashedRelation/long-key shuffle instead of a concatenated string
+    # key (the same packed-long win the spatial join gets; the band id is
+    # hashed in so a single-column join covers all bands).  A 1/2^64 hash
+    # collision can only ADD a candidate pair, which the exact verify
+    # stage then rejects — the final output is unchanged.
+    keys = [
+        "xxhash64(cast({b} as bigint){mhs})".format(
+            b=b,
+            mhs="".join(
+                f", mh_{b * band_size + r}" for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    ]
     bands = sigs.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{b * band_size + r}")
-                                for r in range(band_size)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+        F.explode(F.array(*[F.expr(k) for k in keys])).alias("key"),
+    )
     a = bands.withColumnRenamed(id_col, "id_a")
     b = bands.withColumnRenamed(id_col, "id_b")
     return (
-        a.join(b, ["band", "key"])
+        a.join(b, "key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -180,10 +179,22 @@ def jaccard_verify(
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact shingle-set jaccard for candidate pairs (the verify stage)."""
+    """Exact shingle-set jaccard for candidate pairs (the verify stage).
+
+    The shingle table is first LEFT-SEMI-joined against the candidate doc
+    ids: at 100 TB the candidates are a tiny fraction of the corpus, so
+    shuffling the full token table into the pairwise join would dominate
+    the whole pipeline.  Per-doc shingle counts are unchanged by the
+    semi-join, so jaccard values are identical."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
+    toks = toks.join(cand_ids, id_col, "left_semi")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = toks.withColumnRenamed(id_col, "id_a")
     tb = toks.withColumnRenamed(id_col, "id_b")
@@ -266,13 +277,63 @@ def simhash_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing at least one 16-bit band
-    (guaranteed to include every pair within hamming distance 3)."""
-    out = None
-    for b in range(4):
-        a = sig.selectExpr(f"{id_col} as id_a", f"band_{b} as k")
-        c = sig.selectExpr(f"{id_col} as id_b", f"band_{b} as k")
-        p = a.join(c, "k").filter(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b"
-        )
-        out = p if out is None else out.unionByName(p)
-    return out.distinct()
+    (guaranteed to include every pair within hamming distance 3).
+
+    One explode + ONE long-key self-join (key = xxhash64(band_id, band
+    value)) instead of four separate joins unioned — a quarter of the
+    shuffles for the same candidate set (hash collisions can only add
+    candidates, which the hamming verify rejects)."""
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"xxhash64(cast({b} as bigint), band_{b})")
+                    for b in range(4)
+                ]
+            )
+        ).alias("k"),
+    )
+    a = bands.withColumnRenamed(id_col, "id_a")
+    c = bands.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(c, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backend: str = "md5",
+) -> DataFrame:
+    """End-to-end simhash near-dup pipeline: 64-bit signatures -> banded
+    candidates -> XOR-popcount hamming verify (<= max_hamming).
+
+    The 4x16-bit blocking guarantees the candidate stage misses nothing
+    within hamming distance 3, so verify-then-filter is exact for the
+    default threshold.  Output: (id_a, id_b, hamming)."""
+    sig = simhash64(df, id_col, text_col, backend)
+    cand = simhash_candidate_pairs(sig, id_col)
+    sa = sig.selectExpr(
+        f"{id_col} as id_a",
+        *[f"band_{b} as a_band_{b}" for b in range(4)],
+    )
+    sb = sig.selectExpr(
+        f"{id_col} as id_b",
+        *[f"band_{b} as b_band_{b}" for b in range(4)],
+    )
+    hamming = " + ".join(
+        f"bit_count(a_band_{b} ^ b_band_{b})" for b in range(4)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.expr(f"cast({hamming} as bigint)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

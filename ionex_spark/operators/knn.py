@@ -13,19 +13,19 @@ each axis are exactly the offsets {-1, 0, 1, 2} from the cell's SW corner
 (offset 3 is dominated by 2, -2 by -1), so the 16-candidate window provably
 contains the true top-4 (and in practice top-k for k <= 8 away from edges).
 
-The candidate fan-out is a NARROW explode of a 16-element literal array
-(no join at all — asserted in tests/test_plan_invariants.py); the final
-ranking is the single shuffle, on the point id — unavoidable for a
-per-point top-k, and AQE coalesces it.
+The whole top-k is computed INSIDE the row — the 16 candidates are a
+literal struct array transformed, filtered, array_sort-ed, sliced to k,
+then posexploded — so the plan has ZERO Exchange (asserted in
+tests/test_plan_invariants.py).  The previous shape exploded 16x|points|
+rows through a row_number() window shuffle for the same answer.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from ionex_spark.functions import sqlgen
-from ionex_spark.functions.sqlgen import GRID
+from ionex_spark.functions.sqlgen import GRID, D
 
 OFFSETS = [(di, dj) for di in (-1, 0, 1, 2) for dj in (-1, 0, 1, 2)]
 
@@ -40,7 +40,9 @@ def knn_grid_points(
     """k nearest TEC-grid points per query point.
 
     Output: (id, rank, g_lat_i, g_lon_i, g_lat, g_lon, dist2).
-    Deterministic total order: (dist2, g_lat_i, g_lon_i) tie-break.
+    Deterministic total order: (dist2, g_lat_i, g_lon_i) tie-break —
+    array_sort on the candidate struct compares fields in declaration
+    order, so the struct leads with exactly those three fields.
     """
     g = GRID
     p = points.withColumns(
@@ -49,46 +51,36 @@ def knn_grid_points(
             "lon_i": F.expr(sqlgen.lon_idx_sql(lon)),
         }
     )
-    # candidate fan-out as a NARROW explode of a 16-element literal array
-    # (a crossJoin with a 16-row table would plan a BroadcastNestedLoop
-    # join — same output, one more exchange + join operator for nothing)
-    offs = F.array(
-        *[
-            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
-            for di, dj in OFFSETS
-        ]
+    offs = "array(" + ", ".join(
+        f"named_struct('di', {di}, 'dj', {dj})" for di, dj in OFFSETS
+    ) + ")"
+    # 16 candidate grid points as an in-row struct array; out-of-grid
+    # candidates dropped (not clamped: no duplicates) — edge windows keep
+    # >= 3x3 candidates which still provably contain the top-4
+    base = (
+        f"filter(transform({offs}, o -> named_struct("
+        f" 'g_lat_i', lat_i + o.di, 'g_lon_i', lon_i + o.dj,"
+        f" 'g_lat', {D(g.lat0)} + (lat_i + o.di) * {D(g.dlat)},"
+        f" 'g_lon', {D(g.lon0)} + (lon_i + o.dj) * {D(g.dlon)})),"
+        f" c -> c.g_lat_i between 0 and {g.nlat - 1}"
+        f" and c.g_lon_i between 0 and {g.nlon - 1})"
     )
-    cand = p.select("*", F.explode(offs).alias("o"))
-    # drop (not clamp) out-of-grid candidates: no duplicates, no extra
-    # shuffle; edge windows keep >= 3x3 candidates which still provably
-    # contain the top-4 for this grid's aspect ratio
-    cand = cand.withColumns(
-        {"g_lat_i": F.expr("lat_i + o.di"), "g_lon_i": F.expr("lon_i + o.dj")}
-    ).filter(
-        F.expr(
-            f"g_lat_i between 0 and {g.nlat - 1}"
-            f" and g_lon_i between 0 and {g.nlon - 1}"
-        )
+    scored = (
+        f"transform({base}, c -> named_struct("
+        f" 'dist2', (({lat}) - c.g_lat) * (({lat}) - c.g_lat)"
+        f" + (({lon}) - c.g_lon) * (({lon}) - c.g_lon),"
+        f" 'g_lat_i', c.g_lat_i, 'g_lon_i', c.g_lon_i,"
+        f" 'g_lat', c.g_lat, 'g_lon', c.g_lon))"
     )
-    cand = cand.withColumns(
-        {
-            "g_lat": F.expr(
-                f"({sqlgen.D(g.lat0)} + g_lat_i * {sqlgen.D(g.dlat)})"
-            ),
-            "g_lon": F.expr(
-                f"({sqlgen.D(g.lon0)} + g_lon_i * {sqlgen.D(g.dlon)})"
-            ),
-        }
-    ).withColumn(
-        "dist2",
-        F.expr(
-            f"(({lat}) - g_lat) * (({lat}) - g_lat)"
-            f" + (({lon}) - g_lon) * (({lon}) - g_lon)"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy("dist2", "g_lat_i", "g_lon_i")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "g_lat_i", "g_lon_i", "g_lat", "g_lon", "dist2")
+    topk = f"slice(array_sort({scored}), 1, {k})"
+    return p.select(
+        id_col, F.posexplode(F.expr(topk)).alias("pos", "c")
+    ).selectExpr(
+        id_col,
+        "cast(pos + 1 as int) as rank",
+        "c.g_lat_i as g_lat_i",
+        "c.g_lon_i as g_lon_i",
+        "c.g_lat as g_lat",
+        "c.g_lon as g_lon",
+        "c.dist2 as dist2",
     )

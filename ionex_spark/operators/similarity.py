@@ -95,8 +95,18 @@ def lsh_bucket_topk(
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN: cosine top-k within the query's LSH bucket only."""
+    """ANN: cosine top-k within the query's LSH bucket.
+
+    With ``multiprobe=True`` the query side also probes every hamming-1
+    neighbor bucket (n_planes+1 keys per query, a cheap explode on the
+    SMALL side) — the standard recall fix for sign-LSH: as n_planes grows
+    a true neighbor differs in one marginal sign bit with probability
+    approaching 1, so exact-bucket recall falls off a cliff while
+    hamming-1 probing recovers most of it for (n_planes+1)x candidate
+    cost.  Probe keys are distinct and each corpus vector lives in exactly
+    one bucket, so no candidate dedup is needed."""
     c = lsh_bucket_key(corpus.select(id_col, vec_col), vec_col, n_planes, dim)
     q = lsh_bucket_key(
         queries.select(
@@ -106,6 +116,15 @@ def lsh_bucket_topk(
         n_planes,
         dim,
     )
+    if multiprobe:
+        probes = ", ".join(
+            ["bucket"] + [f"bucket ^ {1 << p}" for p in range(n_planes)]
+        )
+        q = q.select(
+            "query_id",
+            "qvec",
+            F.explode(F.expr(f"array({probes})")).alias("bucket"),
+        )
     j = c.join(F.broadcast(q), "bucket").filter(
         F.col(id_col) != F.col("query_id")
     )
@@ -163,25 +182,42 @@ def ivf_assign(
     vec_col: str = "embedding",
     out: str = "list_id",
 ) -> DataFrame:
-    """IVF list assignment: each vector joins its nearest centroid.
+    """IVF list assignment: each vector gets its nearest centroid —
+    computed as a NARROW per-row argmax fold, zero shuffle.
 
-    ``centroids`` is a small (id, vec) table — broadcast; nearest by
-    cosine via the same JVM fold.  At 100 TB this is the build side of an
-    IVF index: one pass over the corpus, output partitioned/bucketed by
-    list_id so queries touch only nprobe lists."""
-    from pyspark.sql.window import Window
+    ``centroids`` is a small (id, vec) table; it is collapsed to ONE row
+    holding a sorted array<struct<cent_id,cvec>> and broadcast, so the
+    only join is a 1-row BroadcastNestedLoopJoin (no row amplification).
+    The previous shape (crossJoin x n_lists through a row_number window)
+    shuffled |corpus| x n_lists rows — a 1000x amplification at 2^10
+    lists; the fold is the 100 TB-safe build pass: one corpus scan,
+    n_lists x dim multiplies per row, output ready to be written
+    bucketed by list_id so queries touch only nprobe lists.
 
+    Ties break to the smallest cent_id (fold iterates the array in
+    cent_id order and replaces only on strictly-greater sim), matching
+    row_number() OVER (ORDER BY sim DESC, cent_id) = 1 exactly."""
     c = centroids.selectExpr(f"{id_col} as cent_id", f"{vec_col} as cvec")
-    j = corpus.select(id_col, vec_col).crossJoin(F.broadcast(c))
-    dot = DOT_SQL.format(a=vec_col, b="cvec")
+    cents = c.agg(
+        F.expr("sort_array(collect_list(struct(cent_id, cvec)))").alias(
+            "cents"
+        )
+    )
+    j = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
     na = NORM_SQL.format(a=vec_col)
-    nb = NORM_SQL.format(a="cvec")
-    j = j.withColumn("sim", F.expr(f"({dot}) / (({na}) * ({nb}))"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cent_id"))
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .selectExpr(id_col, vec_col, f"cent_id as {out}")
+    j = j.withColumn("_vnorm", F.expr(na))
+    dot = DOT_SQL.format(a=vec_col, b="c.cvec")
+    nb = NORM_SQL.format(a="c.cvec")
+    sim = f"(({dot}) / ((_vnorm) * ({nb})))"
+    best = (
+        "aggregate(cents,"
+        " named_struct('sim', cast('-Infinity' as double),"
+        " 'cid', cast(-1 as bigint)),"
+        f" (acc, c) -> case when {sim} > acc.sim then"
+        f" named_struct('sim', {sim}, 'cid', c.cent_id) else acc end)"
+    )
+    return j.withColumn("_best", F.expr(best)).selectExpr(
+        id_col, vec_col, f"_best.cid as {out}"
     )
 
 

@@ -109,22 +109,80 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify(pairs, docs, threshold=0.5)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
+def _duck_simhash_sig() -> str:
+    """DuckDB twin of dd.simhash64 (md5 backend): doc_id, band_0..band_3."""
+    hash_cols = ", ".join(
+        f"{dd.token_hash_duckdb_sql('token', b)} AS h{b}" for b in range(4)
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN (h{b} % {1 << (j + 1)}) >= {1 << j}"
+        f" THEN 1 ELSE -1 END) AS s_{b}_{j}"
+        for b in range(4)
+        for j in range(16)
+    )
+    bands = ", ".join(
+        "cast("
+        + " + ".join(
+            f"(CASE WHEN s_{b}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(16)
+        )
+        + f" as bigint) AS band_{b}"
+        for b in range(4)
+    )
+    return f"""
 WITH toks AS ({_DUCK_UNIGRAMS}),
-h AS (SELECT doc_id, {dd.token_hash_duckdb_sql('token', 0)} AS h0, {dd.token_hash_duckdb_sql('token', 1)} AS h1, {dd.token_hash_duckdb_sql('token', 2)} AS h2, {dd.token_hash_duckdb_sql('token', 3)} AS h3 FROM toks),
-sums AS (
-  SELECT doc_id, sum(CASE WHEN (h0 % 2) >= 1 THEN 1 ELSE -1 END) AS s_0_0, sum(CASE WHEN (h0 % 4) >= 2 THEN 1 ELSE -1 END) AS s_0_1, sum(CASE WHEN (h0 % 8) >= 4 THEN 1 ELSE -1 END) AS s_0_2, sum(CASE WHEN (h0 % 16) >= 8 THEN 1 ELSE -1 END) AS s_0_3, sum(CASE WHEN (h0 % 32) >= 16 THEN 1 ELSE -1 END) AS s_0_4, sum(CASE WHEN (h0 % 64) >= 32 THEN 1 ELSE -1 END) AS s_0_5, sum(CASE WHEN (h0 % 128) >= 64 THEN 1 ELSE -1 END) AS s_0_6, sum(CASE WHEN (h0 % 256) >= 128 THEN 1 ELSE -1 END) AS s_0_7, sum(CASE WHEN (h0 % 512) >= 256 THEN 1 ELSE -1 END) AS s_0_8, sum(CASE WHEN (h0 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_0_9, sum(CASE WHEN (h0 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_0_10, sum(CASE WHEN (h0 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_0_11, sum(CASE WHEN (h0 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_0_12, sum(CASE WHEN (h0 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_0_13, sum(CASE WHEN (h0 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_0_14, sum(CASE WHEN (h0 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_0_15, sum(CASE WHEN (h1 % 2) >= 1 THEN 1 ELSE -1 END) AS s_1_0, sum(CASE WHEN (h1 % 4) >= 2 THEN 1 ELSE -1 END) AS s_1_1, sum(CASE WHEN (h1 % 8) >= 4 THEN 1 ELSE -1 END) AS s_1_2, sum(CASE WHEN (h1 % 16) >= 8 THEN 1 ELSE -1 END) AS s_1_3, sum(CASE WHEN (h1 % 32) >= 16 THEN 1 ELSE -1 END) AS s_1_4, sum(CASE WHEN (h1 % 64) >= 32 THEN 1 ELSE -1 END) AS s_1_5, sum(CASE WHEN (h1 % 128) >= 64 THEN 1 ELSE -1 END) AS s_1_6, sum(CASE WHEN (h1 % 256) >= 128 THEN 1 ELSE -1 END) AS s_1_7, sum(CASE WHEN (h1 % 512) >= 256 THEN 1 ELSE -1 END) AS s_1_8, sum(CASE WHEN (h1 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_1_9, sum(CASE WHEN (h1 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_1_10, sum(CASE WHEN (h1 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_1_11, sum(CASE WHEN (h1 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_1_12, sum(CASE WHEN (h1 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_1_13, sum(CASE WHEN (h1 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_1_14, sum(CASE WHEN (h1 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_1_15, sum(CASE WHEN (h2 % 2) >= 1 THEN 1 ELSE -1 END) AS s_2_0, sum(CASE WHEN (h2 % 4) >= 2 THEN 1 ELSE -1 END) AS s_2_1, sum(CASE WHEN (h2 % 8) >= 4 THEN 1 ELSE -1 END) AS s_2_2, sum(CASE WHEN (h2 % 16) >= 8 THEN 1 ELSE -1 END) AS s_2_3, sum(CASE WHEN (h2 % 32) >= 16 THEN 1 ELSE -1 END) AS s_2_4, sum(CASE WHEN (h2 % 64) >= 32 THEN 1 ELSE -1 END) AS s_2_5, sum(CASE WHEN (h2 % 128) >= 64 THEN 1 ELSE -1 END) AS s_2_6, sum(CASE WHEN (h2 % 256) >= 128 THEN 1 ELSE -1 END) AS s_2_7, sum(CASE WHEN (h2 % 512) >= 256 THEN 1 ELSE -1 END) AS s_2_8, sum(CASE WHEN (h2 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_2_9, sum(CASE WHEN (h2 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_2_10, sum(CASE WHEN (h2 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_2_11, sum(CASE WHEN (h2 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_2_12, sum(CASE WHEN (h2 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_2_13, sum(CASE WHEN (h2 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_2_14, sum(CASE WHEN (h2 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_2_15, sum(CASE WHEN (h3 % 2) >= 1 THEN 1 ELSE -1 END) AS s_3_0, sum(CASE WHEN (h3 % 4) >= 2 THEN 1 ELSE -1 END) AS s_3_1, sum(CASE WHEN (h3 % 8) >= 4 THEN 1 ELSE -1 END) AS s_3_2, sum(CASE WHEN (h3 % 16) >= 8 THEN 1 ELSE -1 END) AS s_3_3, sum(CASE WHEN (h3 % 32) >= 16 THEN 1 ELSE -1 END) AS s_3_4, sum(CASE WHEN (h3 % 64) >= 32 THEN 1 ELSE -1 END) AS s_3_5, sum(CASE WHEN (h3 % 128) >= 64 THEN 1 ELSE -1 END) AS s_3_6, sum(CASE WHEN (h3 % 256) >= 128 THEN 1 ELSE -1 END) AS s_3_7, sum(CASE WHEN (h3 % 512) >= 256 THEN 1 ELSE -1 END) AS s_3_8, sum(CASE WHEN (h3 % 1024) >= 512 THEN 1 ELSE -1 END) AS s_3_9, sum(CASE WHEN (h3 % 2048) >= 1024 THEN 1 ELSE -1 END) AS s_3_10, sum(CASE WHEN (h3 % 4096) >= 2048 THEN 1 ELSE -1 END) AS s_3_11, sum(CASE WHEN (h3 % 8192) >= 4096 THEN 1 ELSE -1 END) AS s_3_12, sum(CASE WHEN (h3 % 16384) >= 8192 THEN 1 ELSE -1 END) AS s_3_13, sum(CASE WHEN (h3 % 32768) >= 16384 THEN 1 ELSE -1 END) AS s_3_14, sum(CASE WHEN (h3 % 65536) >= 32768 THEN 1 ELSE -1 END) AS s_3_15
-  FROM h GROUP BY doc_id
-)
-SELECT doc_id, cast((CASE WHEN s_0_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_0_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_0_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_0_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_0_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_0_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_0_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_0_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_0_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_0_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_0_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_0_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_0_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_0_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_0_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_0_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_0, cast((CASE WHEN s_1_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_1_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_1_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_1_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_1_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_1_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_1_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_1_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_1_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_1_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_1_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_1_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_1_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_1_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_1_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_1_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_1, cast((CASE WHEN s_2_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_2_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_2_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_2_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_2_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_2_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_2_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_2_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_2_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_2_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_2_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_2_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_2_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_2_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_2_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_2_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_2, cast((CASE WHEN s_3_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN s_3_1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN s_3_2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN s_3_3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN s_3_4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN s_3_5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN s_3_6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN s_3_7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN s_3_8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN s_3_9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN s_3_10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN s_3_11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN s_3_12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN s_3_13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN s_3_14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN s_3_15 > 0 THEN 32768 ELSE 0 END) as bigint) AS band_3
-FROM sums
-""",
-)
+h AS (SELECT doc_id, {hash_cols} FROM toks),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, {bands} FROM sums
+"""
+
+
+_DUCK_SIMHASH_SIG = _duck_simhash_sig()
+
+
+@register("dedup_simhash", oracle=_DUCK_SIMHASH_SIG)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.simhash64(docs, backend="md5")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sig AS ({_DUCK_SIMHASH_SIG}),
+bands AS (
+  SELECT doc_id, 0 AS bi, band_0 AS bv FROM sig
+  UNION ALL SELECT doc_id, 1, band_1 FROM sig
+  UNION ALL SELECT doc_id, 2, band_2 FROM sig
+  UNION ALL SELECT doc_id, 3, band_3 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.band_0, sb.band_0))
+          + bit_count(xor(sa.band_1, sb.band_1))
+          + bit_count(xor(sa.band_2, sb.band_2))
+          + bit_count(xor(sa.band_3, sb.band_3)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.band_0, sb.band_0))
+    + bit_count(xor(sa.band_1, sb.band_1))
+    + bit_count(xor(sa.band_2, sb.band_2))
+    + bit_count(xor(sa.band_3, sb.band_3)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end simhash near-dup pipeline: 64-bit signature (4x16-bit
+    bands) -> banded candidate pairs (hamming<=3 blocking guarantee) ->
+    XOR-popcount hamming verify."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_near_dup_pairs(docs, max_hamming=3, backend="md5")
+
+
 
 
 # ------------------------------------------------------------ text features
@@ -267,6 +325,54 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter("vec_id % 100 = 0")
     out = sim.lsh_bucket_topk(
         emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM
+    )
+    return out.selectExpr(
+        "query_id", "cast(rank as bigint) as rank",
+        "vec_id", "bucket", "cos_sim",
+    )
+
+
+@register(
+    "similarity_lsh_multiprobe",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_duck_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+q AS (
+  SELECT query_id, qvec,
+         unnest([bucket{"".join(f", xor(bucket, {1 << p})" for p in range(LSH_PLANES))}]) AS bucket
+  FROM q0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         ({_duck_dot('c.embedding', 'q.qvec')})
+         / (({_duck_norm('c.embedding')}) * ({_duck_norm('q.qvec')}))
+           AS cos_sim
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, rank, vec_id, bucket, cos_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with hamming-1 multi-probe: the query also probes every
+    bucket one sign-bit away (n_planes+1 keys, explode on the small side)
+    — recovers the recall single-bucket LSH loses as n_planes grows.
+    Recall vs the similarity_topk ground truth is asserted to beat the
+    single-bucket variant in tests/test_spark_ops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 100 = 0")
+    out = sim.lsh_bucket_topk(
+        emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM, multiprobe=True
     )
     return out.selectExpr(
         "query_id", "cast(rank as bigint) as rank",

@@ -43,8 +43,9 @@ def test_filter_pushdown_to_parquet(spark, tmp_path):
     ) or "PushedFilters" in plan and "EqualTo(w,32)" in plan
 
 
-def test_knn_has_no_nested_loop_join(spark):
-    """Candidate fan-out is a narrow explode, not a BroadcastNestedLoop."""
+def test_knn_has_no_exchange_at_all(spark):
+    """Top-k is computed inside the row (array_sort + slice + posexplode):
+    the plan must contain NO join and NO Exchange of any kind."""
     from ionex_spark.functions import sqlgen
     from ionex_spark.operators import knn as knn_ops
 
@@ -54,8 +55,29 @@ def test_knn_has_no_nested_loop_join(spark):
         f"{sqlgen.lon_from_id_sql('id')} as lon",
     )
     plan = _plan(knn_ops.knn_grid_points(pts, k=4))
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Generate explode" in plan or "Generate" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the final posexplode
+
+
+def test_ivf_assign_is_narrow(spark):
+    """Nearest-centroid assignment is a per-row fold over one broadcast
+    array row: no shuffle Exchange, no Window, no row amplification on the
+    corpus side (the only join is the 1-row BroadcastNestedLoop)."""
+    from ionex_spark.operators import similarity as sim
+
+    emb = spark.range(200).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 7), d -> cast((id * 7 + d * 3) % 11 - 5"
+        " as float)) as embedding",
+    )
+    cents = emb.filter("vec_id % 50 = 0")
+    plan = _plan(sim.ivf_assign(emb, cents))
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
 
 
 def test_temporal_join_single_broadcast_probe(spark):

@@ -191,6 +191,53 @@ def test_lsh_ann_recall(spark):
     assert hit >= 4  # 3 planes ~ >=50% top-1 recall on random data
 
 
+def test_lsh_multiprobe_beats_single_bucket(spark):
+    """Hamming-1 multi-probe must recover recall that exact-bucket LSH
+    loses (measured 0.44 vs 0.04 top-5 recall on the sf0.001 embeddings
+    at n_planes=4)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.vec_id)
+        for r in sim.lsh_bucket_topk(emb, q, k=5, n_planes=4, dim=64).collect()
+    }
+    multi = {
+        (r.query_id, r.vec_id)
+        for r in sim.lsh_bucket_topk(
+            emb, q, k=5, n_planes=4, dim=64, multiprobe=True
+        ).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi > r_single
+    assert r_multi >= 0.4
+
+
+def test_simhash_near_dup_pairs_end_to_end(spark):
+    """Banding -> candidates -> XOR-popcount hamming verify: identical
+    docs land at hamming 0; near-identical docs stay within 3; unrelated
+    docs are filtered out."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely unrelated text about spark shuffle partitions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert all(h <= 3 for h in out.values())
+    assert not any(3 in p for p in out)
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_images_source_and_verify(spark):
