@@ -91,26 +91,35 @@ def ensure_images(spark) -> None:
 
 def images_e2e(spark):
     """Real image+caption payload pipeline: scan -> join -> tile ->
-    payload verify on a 1% sample -> aggregate."""
+    payload verify on a 1% sample -> aggregate.
+
+    Two column-disjoint branches, each reading only what it needs: the
+    rollup branch scans metadata columns (bytes stay columnar-pruned, the
+    payload-discipline plan invariant) while the verify branch filters the
+    sample ON THE SCAN before joining, so the expensive spatial join +
+    tile work runs once over the full table and once over ~1% — not twice
+    over everything."""
     from pyspark.sql import functions as F
 
     from ionex_spark.functions import sqlgen
     from ionex_spark.operators import multimodal as mm
     from ionex_spark.operators import spatial
 
-    imgs = spark.read.parquet(IMAGES_PATH)
     cells = spatial.build_tec_cells(spark)
-    joined = spatial.spatial_join_bilinear(imgs, cells)
-    tiled = joined.withColumn(
+
+    imgs_lean = spark.read.parquet(IMAGES_PATH).drop("bytes", "caption")
+    tiled = spatial.spatial_join_bilinear(imgs_lean, cells).withColumn(
         "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
     )
-    # payload verify on a deterministic 1% sample (bytes stay columnar-
-    # pruned for the other 99%)
-    sample = tiled.filter("phash % 100 = 0")
-    verified = mm.verify_payloads(sample)
     per_tile = tiled.groupBy("tile_id").agg(
         F.count(F.lit(1)).alias("n_images"), F.sum("tec").alias("sum_tec")
     )
+
+    sample_src = spark.read.parquet(IMAGES_PATH).filter("phash % 100 = 0")
+    sample = spatial.spatial_join_bilinear(sample_src, cells).withColumn(
+        "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+    )
+    verified = mm.verify_payloads(sample)
     checks = verified.agg(
         F.sum(F.expr("case when payload_ok then 0 else 1 end")).alias("bad_payload"),
         F.sum(F.expr("case when caption_ok then 0 else 1 end")).alias("bad_caption"),

@@ -36,11 +36,15 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ionex_spark.core.linspace import Grid, Linspace
+from ionex_spark.core.meta import MappingFunction, Version
 
 
 @dataclass
 class IonexHeader:
     version: tuple[int, int] = (1, 0)
+    # observation source on the VERSION / TYPE line (src/system.rs):
+    # a constellation code, other system, or theoretical model
+    reference_system: str = "GNSS"
     program: str = "ionex_spark"
     run_by: str = "ionex_spark"
     description: list[str] = field(default_factory=list)
@@ -105,7 +109,8 @@ def write_ionex(
     out: list[str] = []
     maj, mino = header.version
     out += _fmt_line(
-        f"{maj:6}.{mino:01}            IONOSPHERE MAPS     GNSS",
+        f"{maj:6}.{mino:01}            IONOSPHERE MAPS"
+        f"     {header.reference_system}",
         "IONEX VERSION / TYPE",
     )
     out += _fmt_line(
@@ -180,9 +185,12 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
         if "COMMENT" in marker:
             header.comments.append(content.rstrip())
         elif "IONEX VERSION / TYPE" in marker:
-            v = content.split()[0]
-            maj, mino = v.split(".")
-            header.version = (int(maj), int(mino))
+            toks = content.split()
+            header.version = Version.parse(toks[0]).as_tuple()
+            # trailing token is the reference system (src/system.rs);
+            # 'IONOSPHERE MAPS' sits between version and system
+            if len(toks) >= 2 and toks[-1] not in ("MAPS", "IONOSPHERE"):
+                header.reference_system = toks[-1]
         elif "# OF MAPS IN FILE" in marker:
             header.number_of_maps = int(content.split()[0])
         elif "MAP DIMENSION" in marker:
@@ -205,7 +213,15 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
         elif "EXPONENT" in marker:
             header.exponent = int(content.split()[0])
         elif "MAPPING FUNCTION" in marker:
-            header.mapping_function = content.strip()
+            mf = content.strip()
+            # normalize through the enum (src/mapf.rs: NONE/COSZ/QFAC,
+            # 'cosine' alias); unknown functions kept verbatim so odd
+            # agency files still ingest
+            header.mapping_function = (
+                MappingFunction.parse(mf)
+                if MappingFunction.is_valid(mf)
+                else mf
+            )
         elif "LAT1 / LAT2 / DLAT" in marker:
             a, b, c = (float(x) for x in _split_grid_triple(content))
             lat = Linspace(a, b, c)
@@ -225,6 +241,11 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
     cur_kind = "TEC"
     cur_lat_row = -1
     cur_vals: list[int] = []
+    # per-row longitude spec: IONEX permits each LAT/LON1/LON2/DLON/H row
+    # to carry its own lon axis (the reference re-parses GridSpecs per row,
+    # src/record/parsing.rs); default to the header axis
+    cur_lon1 = lon.start
+    cur_dlon = lon.spacing
     exponent = header.exponent
     exp_of_map: dict[int, int] = {}
 
@@ -234,8 +255,22 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
             grid = maps[cur_kind].setdefault(
                 cur_epoch_idx, np.full((nlat, nlon), 9999, dtype=np.int64)
             )
-            n = min(len(cur_vals), nlon)
-            grid[cur_lat_row, :n] = cur_vals[:n]
+            # map values to columns via the ROW's own lon spec; raise on
+            # misalignment rather than silently misplacing values
+            idx = np.arange(len(cur_vals), dtype=np.float64)
+            cols = (cur_lon1 + idx * cur_dlon - lon.start) / lon.spacing
+            coli = np.rint(cols).astype(np.int64)
+            if not (
+                np.all(np.abs(cols - coli) < 1e-6)
+                and coli.min() >= 0
+                and coli.max() < nlon
+            ):
+                raise ValueError(
+                    f"row lon spec (LON1={cur_lon1}, DLON={cur_dlon},"
+                    f" n={len(cur_vals)}) does not align with the header"
+                    f" longitude axis"
+                )
+            grid[cur_lat_row, coli] = cur_vals
         cur_vals = []
 
     _MARKERS = (
@@ -281,17 +316,32 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
                 flush_row()
                 row_lat = float(content[2:8])
                 cur_lat_row = int(np.argmin(np.abs(lat_vals - row_lat)))
+                # fixed 6-char fields: lat, lon1, lon2, dlon, h
+                try:
+                    cur_lon1 = float(content[8:14])
+                    cur_dlon = float(content[20:26])
+                except ValueError:
+                    cur_lon1, cur_dlon = lon.start, lon.spacing
             elif "END OF" in marker:
                 flush_row()
                 if "END OF FILE" in marker:
                     break
+        elif marker.strip() and any(c.isalpha() for c in marker.strip()):
+            # unknown marker inside the record section (COMMENT, AUX DATA,
+            # ...): tolerated and skipped, like the reference's data branch
+            # which logs unparseable items and continues
+            # (src/record/parsing.rs data arm)
+            continue
         else:
             # 16 x 5-char data values (data lines are up to 80 chars wide)
             row = line.rstrip("\n")
             for off in range(0, len(row), 5):
                 item = row[off : off + 5].strip()
                 if item:
-                    cur_vals.append(int(item))
+                    try:
+                        cur_vals.append(int(item))
+                    except ValueError:
+                        pass  # skip unparseable item, keep the row
     flush_row()
 
     ep = np.array(epochs, dtype="datetime64[s]")
@@ -356,20 +406,34 @@ def write_ionex_file(path: str, header, epochs, tecu_q, rms_q=None) -> None:
 def grids_to_long(header: IonexHeader, epochs, tecu_q, rms_q=None):
     """Dense (T, nlat, nlon) -> long arrays (epoch, lat, lon, tecu_q, rms_q)
     with 9999-sentinel points dropped (the reference's sparse-in semantics,
-    src/record/parsing.rs:146-150)."""
+    src/record/parsing.rs:146-150).
+
+    A point is KEPT if it has a TEC value OR an RMS value: the reference's
+    RMS branch inserts a key with default TEC when only the RMS map covers
+    it, so RMS-only points must survive ingest.  tecu_q/rms_q come back as
+    float64 with NaN where the sentinel was (NaN maps to NULL on the Spark
+    side)."""
     g = header.grid
     T, nlat, nlon = tecu_q.shape
     ee, li, lo = np.meshgrid(
         np.arange(T), np.arange(nlat), np.arange(nlon), indexing="ij"
     )
     mask = tecu_q != 9999
+    if rms_q is not None:
+        mask = mask | (rms_q != 9999)
     lat_vals = g.lat.values()
     lon_vals = g.lon.values()
+    tq = tecu_q[mask].astype(np.float64)
+    tq[tecu_q[mask] == 9999] = np.nan
+    rq = None
+    if rms_q is not None:
+        rq = rms_q[mask].astype(np.float64)
+        rq[rms_q[mask] == 9999] = np.nan
     out = {
         "epoch": np.asarray(epochs)[ee[mask]],
         "lat": lat_vals[li[mask]],
         "lon": lon_vals[lo[mask]],
-        "tecu_q": tecu_q[mask],
-        "rms_q": (rms_q[mask] if rms_q is not None else None),
+        "tecu_q": tq,
+        "rms_q": rq,
     }
     return out

@@ -21,7 +21,13 @@ KEY = ["epoch", "lat", "lon", "alt"]
 
 def merge_tec_points(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
     """Keyed union preferring lhs; rhs fills missing keys and missing
-    nullable fields (rms_q) on shared keys."""
+    nullable fields (rms_q) on shared keys.
+
+    An rms_q filled from rhs is an integer quantized under RHS's exponent;
+    when the merged row keeps LHS's exponent the value is rescaled by
+    10^(r_exp - exp) (rounded) so its REAL value is preserved — without
+    this, files merged across different EXPONENT headers mis-scale the
+    filled RMS by a power of 10."""
     l = lhs.select(*KEY, "tecu_q", "exp", "rms_q")
     r = rhs.select(
         *KEY,
@@ -30,11 +36,19 @@ def merge_tec_points(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
         F.col("rms_q").alias("r_rms_q"),
     )
     m = l.join(r, KEY, "full_outer")
+    m = m.withColumn("exp_out", F.coalesce("exp", "r_exp"))
+    rms_out = (
+        "CASE WHEN rms_q IS NOT NULL THEN rms_q"
+        " WHEN r_rms_q IS NOT NULL THEN"
+        "  cast(round(r_rms_q * power(cast(10 as double),"
+        "  cast(r_exp - exp_out as double))) as bigint)"
+        " ELSE NULL END"
+    )
     return m.select(
         *KEY,
         F.coalesce("tecu_q", "r_tecu_q").alias("tecu_q"),
-        F.coalesce("exp", "r_exp").alias("exp"),
-        F.coalesce("rms_q", "r_rms_q").alias("rms_q"),
+        F.col("exp_out").alias("exp"),
+        F.expr(rms_out).alias("rms_q"),
     )
 
 

@@ -61,13 +61,13 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "lat": long["lat"],
                     "lon": long["lon"],
                     "alt": np.full(n, header.grid.alt.start),
+                    # 9999 sentinel -> NULL (src/record/parsing.rs:146-150);
+                    # grids_to_long already NaN-masks both columns (RMS-only
+                    # points keep a NULL tecu_q, reference RMS-branch parity)
                     "tecu_q": long["tecu_q"],
                     "exp": row_exp,
-                    # 9999 sentinel -> NULL (src/record/parsing.rs:146-150)
                     "rms_q": (
-                        np.where(
-                            long["rms_q"] == 9999, np.nan, long["rms_q"]
-                        )
+                        long["rms_q"]
                         if long["rms_q"] is not None
                         else np.full(n, np.nan)
                     ),

@@ -135,15 +135,52 @@ class ResumableJob:
             return json.load(fh)
 
     def completed_chunks(self) -> set[str]:
-        return {rec["chunk"] for rec in self.lineage()}
+        """Chunks that must not re-run: recorded in lineage OR already
+        committed as a snapshot.  The snapshot scan closes the crash
+        window between table.append() and the lineage write — without it
+        a chunk committed-but-unrecorded would be appended a second time
+        on resume (duplicated rows)."""
+        done = {rec["chunk"] for rec in self.lineage()}
+        done.update(self._committed_snapshots().keys())
+        return done
+
+    def _committed_snapshots(self) -> dict[str, dict]:
+        """chunk -> snapshot manifest for every snapshot this job committed
+        (identity carried in the snapshot summary at append time)."""
+        out: dict[str, dict] = {}
+        for s in self.table.snapshots():
+            sm = s.get("summary") or {}
+            if sm.get("job_id") == self.job_id and "chunk" in sm:
+                out[sm["chunk"]] = s
+        return out
 
     def run(self, spark: SparkSession, chunks: list[tuple[str, callable]]) -> dict:
-        done = self.completed_chunks()
         records = self.lineage()
-        ran, skipped = [], []
+        done = {rec["chunk"] for rec in records}
+        committed = self._committed_snapshots()
+        ran, skipped, recovered = [], [], []
         for name, producer in chunks:
             if name in done:
                 skipped.append(name)
+                continue
+            if name in committed:
+                # crash-resume: snapshot landed but the lineage record did
+                # not — backfill lineage from the manifest, DO NOT re-run
+                s = committed[name]
+                added = s.get("added_files", [])
+                rows = spark.read.parquet(*added).count() if added else 0
+                records.append(
+                    {
+                        "job_id": self.job_id,
+                        "chunk": name,
+                        "rows": rows,
+                        "seconds": 0.0,
+                        "snapshot_id": s["snapshot_id"],
+                        "ts": time.time(),
+                    }
+                )
+                self._write_lineage(records)
+                recovered.append(name)
                 continue
             t0 = time.time()
             df = producer(spark)
@@ -168,12 +205,20 @@ class ResumableJob:
                 "ts": time.time(),
             }
             records.append(rec)
-            tmp = self.lineage_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(records, fh)
-            os.rename(tmp, self.lineage_path)
+            self._write_lineage(records)
             ran.append(name)
-        return {"ran": ran, "skipped": skipped, "lineage": records}
+        return {
+            "ran": ran,
+            "skipped": skipped,
+            "recovered": recovered,
+            "lineage": records,
+        }
+
+    def _write_lineage(self, records: list[dict]) -> None:
+        tmp = self.lineage_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(records, fh)
+        os.rename(tmp, self.lineage_path)
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """The lineage as the engine's metrics table."""

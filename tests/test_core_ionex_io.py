@@ -121,6 +121,93 @@ def test_grids_to_long_drops_sentinel():
     assert np.all(long["tecu_q"] != 9999)
 
 
+def test_record_section_comment_tolerated():
+    """A legal COMMENT inside the record section must be skipped, not
+    parsed as fixed-width data (reference record parser logs & continues,
+    src/record/parsing.rs data arm)."""
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    idx = [i for i, l in enumerate(lines) if "EPOCH OF CURRENT MAP" in l][0]
+    lines.insert(idx + 1, f"{'mid-record note':<60}COMMENT")
+    _, _, tec2, _ = parse_ionex("\n".join(lines) + "\n")
+    np.testing.assert_array_equal(tec2, dense)
+
+
+def test_rms_only_points_survive_ingest():
+    """Grid points with an RMS value but no TEC value are kept (reference
+    RMS branch inserts a default-TEC key, src/record/parsing.rs); tecu_q
+    comes back NaN (NULL on the Spark side)."""
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    rms = np.full_like(dense, 3)
+    dense[0, 5, 7] = 9999  # TEC missing, RMS present at the same point
+    long = grids_to_long(hdr, epochs, dense, rms)
+    assert len(long["tecu_q"]) == synth.GRID_NLAT * synth.GRID_NLON
+    assert np.isnan(long["tecu_q"]).sum() == 1
+    assert not np.isnan(long["rms_q"]).any()
+
+
+def test_per_row_lon_spec_subset():
+    """A LAT row carrying its OWN lon spec (subset of the header axis)
+    must place values at the right columns (IONEX GridSpecs semantics,
+    src/record/parsing.rs)."""
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    g = hdr.grid
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    # find the first LAT spec line and replace that row: 3 values at
+    # stride 2*dlon starting at lon column 4
+    si = [i for i, l in enumerate(lines) if "LAT/LON1/LON2/DLON/H" in l][0]
+    lat_v = float(lines[si][2:8])
+    lon1 = g.lon.start + 4 * g.lon.spacing
+    dlon = 2 * g.lon.spacing
+    lon2 = lon1 + 2 * dlon
+    spec = f"  {lat_v:6.1f}{lon1:6.1f}{lon2:6.1f}{dlon:6.1f}{g.alt.start:6.1f}"
+    # data lines for this row follow until the next spec; replace them
+    ei = si + 1  # data lines can be 80 chars wide: a real marker has alphas
+    while ei < len(lines) and not any(c.isalpha() for c in lines[ei][60:]):
+        ei += 1
+    new = lines[:si] + [f"{spec:<60}LAT/LON1/LON2/DLON/H",
+                        "".join(f"{v:5}" for v in (11, 22, 33))] + lines[ei:]
+    _, _, tec2, _ = parse_ionex("\n".join(new) + "\n")
+    assert tec2[0, 0, 4] == 11
+    assert tec2[0, 0, 6] == 22
+    assert tec2[0, 0, 8] == 33
+    assert tec2[0, 0, 5] == 9999  # skipped by the row's stride
+
+
+def test_per_row_lon_spec_misaligned_raises():
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    g = hdr.grid
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    si = [i for i, l in enumerate(lines) if "LAT/LON1/LON2/DLON/H" in l][0]
+    lat_v = float(lines[si][2:8])
+    # lon1 off the header grid by half a spacing -> must raise, not misplace
+    lon1 = g.lon.start + 0.5 * g.lon.spacing
+    spec = (
+        f"  {lat_v:6.1f}{lon1:6.1f}{g.lon.end:6.1f}"
+        f"{g.lon.spacing:6.1f}{g.alt.start:6.1f}"
+    )
+    lines[si] = f"{spec:<60}LAT/LON1/LON2/DLON/H"
+    with pytest.raises(ValueError, match="lon spec"):
+        parse_ionex("\n".join(lines) + "\n")
+
+
+def test_version_and_refsystem_roundtrip():
+    """VERSION / TYPE line: version via Version.parse, trailing reference
+    system token parsed and re-emitted (src/version.rs, src/system.rs)."""
+    hdr = make_header(1)
+    hdr.reference_system = "GPS"
+    hdr.mapping_function = "cosine"  # alias normalizes to COSZ on write-parse
+    epochs, dense = make_grids(1)
+    h2, _, _, _ = parse_ionex(write_ionex(hdr, epochs, dense))
+    assert h2.version == (1, 0)
+    assert h2.reference_system == "GPS"
+    assert h2.mapping_function == "COSZ"
+
+
 def test_testpoint_vector_against_field():
     """End-to-end TestPoint pattern (src/tests/toolkit.rs:53-131): write the
     smooth field, parse it back, bilinear-interpolate >= 18 probe points and

@@ -91,3 +91,28 @@ def test_spark_export_rms_roundtrip(spark, tmp_path):
     np.testing.assert_array_equal(tec2, dense)
     assert rms2 is not None
     np.testing.assert_array_equal(rms2, rms)
+
+
+def test_merge_rms_fill_rescales_exponent(spark):
+    """rms_q filled from rhs is rescaled to the merged row's exponent so
+    its REAL value (rms_q * 10^exp) is preserved across files with
+    different EXPONENT headers."""
+    l = spark.createDataFrame(
+        [("2022-01-01 00:00:00", 10.0, 20.0, 450.0, 35, -1, None)],
+        "epoch string, lat double, lon double, alt double,"
+        " tecu_q long, exp int, rms_q long",
+    ).selectExpr("timestamp(epoch) as epoch", "lat", "lon", "alt",
+                 "tecu_q", "exp", "rms_q")
+    # rhs: same key, rms 350 under exp -2 => real RMS 3.5 TECU
+    r = spark.createDataFrame(
+        [("2022-01-01 00:00:00", 10.0, 20.0, 450.0, 350, -2, 350)],
+        "epoch string, lat double, lon double, alt double,"
+        " tecu_q long, exp int, rms_q long",
+    ).selectExpr("timestamp(epoch) as epoch", "lat", "lon", "alt",
+                 "tecu_q", "exp", "rms_q")
+    out = mg.merge_tec_points(l, r).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.tecu_q == 35 and row.exp == -1  # lhs wins
+    # filled rms rescaled: 350 * 10^(-2 - -1) = 35 (still 3.5 TECU real)
+    assert row.rms_q == 35

@@ -49,18 +49,26 @@ def test_resumable_job_skips_completed_chunks(spark, tmp_path):
     assert not calls
     assert t.read(spark).count() == 30
 
-    # partial failure simulation: drop one lineage record -> only that
-    # chunk re-runs (idempotent per-chunk writes)
+    # crash-window simulation: c1's snapshot committed but its lineage
+    # record was lost.  Resume must NOT re-execute or re-append the chunk
+    # (that would duplicate its rows) — it backfills lineage from the
+    # snapshot summary.
     recs = job.lineage()
     with open(job.lineage_path, "w") as fh:
         json.dump([r for r in recs if r["chunk"] != "c1"], fh)
+    calls.clear()
     r3 = job.run(spark, chunks)
-    assert r3["ran"] == ["c1"] and r3["skipped"] == ["c0", "c2"]
+    assert r3["recovered"] == ["c1"] and not r3["ran"]
+    assert r3["skipped"] == ["c0", "c2"]
+    assert not calls  # producer never invoked
+    assert t.read(spark).count() == 30  # no duplicated rows
+    assert "c1" in job.completed_chunks()
 
     m = job.metrics_df(spark).toPandas()
     assert set(m["chunk"]) == {"c0", "c1", "c2"}
     assert (m["rows"] == 10).all()
-    assert (m["seconds"] > 0).all()
+    # recovered record carries seconds == 0.0; original timings survive
+    assert (m[m["chunk"] != "c1"]["seconds"] > 0).all()
 
 
 def test_streaming_tile_pipeline(spark, tmp_path):
