@@ -18,11 +18,17 @@ literal struct array transformed, filtered, array_sort-ed, sliced to k,
 then posexploded — so the plan has ZERO Exchange (asserted in
 tests/test_plan_invariants.py).  The previous shape exploded 16x|points|
 rows through a row_number() window shuffle for the same answer.
+
+``knn_points`` generalizes to an ARBITRARY point corpus (not just the
+TEC grid): cell-bucketed filter-refine with an exactness certificate and
+a brute-force fallback for the residual queries — exact results, one
+equi-join shuffle for the bulk of the work.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ionex_spark.functions import sqlgen
 from ionex_spark.functions.sqlgen import GRID, D
@@ -84,3 +90,97 @@ def knn_grid_points(
         "c.g_lon as g_lon",
         "c.dist2 as dist2",
     )
+
+
+def knn_points(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    cell_deg: float = 5.0,
+) -> DataFrame:
+    """EXACT kNN join of query points against an arbitrary point corpus
+    (the general reading of the north_rule's kNN beyond the fixed grid;
+    candidate generation follows the cell+ring pattern of
+    core/cellid.cell_ring).
+
+    Schemas: queries (qid, lat, lon), corpus (cid, lat, lon).  Output:
+    (qid, rank, cid, dist2) with deterministic (dist2, cid) tie-break and
+    self-matches (cid == qid) excluded.
+
+    Filter-refine with an exactness CERTIFICATE:
+    1. corpus bucketed into cell_deg x cell_deg cells; each query probes
+       its 3x3 cell ring (narrow 9-key explode on the query side; ONE
+       equi-join shuffle on the cell key — the 100 TB bulk path).
+    2. per-query certificate: the candidate top-k is provably the true
+       top-k iff >= k candidates were found AND the kth distance is
+       strictly inside the distance to the 3x3 block boundary (any point
+       outside the block is at least that far away).
+    3. queries failing the certificate (sparse cells, block edges,
+       dateline) fall back to a brute-force scan — they are a vanishing
+       fraction when cell_deg matches the data density, so the fallback
+       crossJoin broadcasts a tiny query set.  Both paths produce the
+       exact answer, so the union is exact regardless of the split.
+    """
+    c = corpus.selectExpr(
+        "cid",
+        "lat as c_lat",
+        "lon as c_lon",
+        f"cast(floor(lat / {D(cell_deg)}) as bigint) as cx",
+        f"cast(floor(lon / {D(cell_deg)}) as bigint) as cy",
+    )
+    q = queries.selectExpr(
+        "qid",
+        "lat as q_lat",
+        "lon as q_lon",
+        f"cast(floor(lat / {D(cell_deg)}) as bigint) as qcx",
+        f"cast(floor(lon / {D(cell_deg)}) as bigint) as qcy",
+    ).withColumn(
+        "margin",
+        F.expr(
+            f"least(q_lat - (qcx - 1) * {D(cell_deg)},"
+            f" (qcx + 2) * {D(cell_deg)} - q_lat,"
+            f" q_lon - (qcy - 1) * {D(cell_deg)},"
+            f" (qcy + 2) * {D(cell_deg)} - q_lon)"
+        ),
+    )
+
+    dist2 = (
+        "(q_lat - c_lat) * (q_lat - c_lat)"
+        " + (q_lon - c_lon) * (q_lon - c_lon)"
+    )
+    w = Window.partitionBy("qid").orderBy("dist2", "cid")
+
+    def rank_topk(cand: DataFrame) -> DataFrame:
+        scored = cand.filter("cid != qid").withColumn("dist2", F.expr(dist2))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    offs = "array(" + ", ".join(
+        f"named_struct('di', {di}, 'dj', {dj})"
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ) + ")"
+    probe = q.select(
+        "*", F.explode(F.expr(offs)).alias("o")
+    ).selectExpr("*", "qcx + o.di as cx", "qcy + o.dj as cy").drop("o")
+    topk = rank_topk(probe.join(c, ["cx", "cy"]))
+
+    cert = topk.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.max("dist2").alias("kth2"),
+        F.first("margin").alias("margin"),
+    )
+    exact_ids = cert.filter(
+        f"n_cand = {k} and kth2 < margin * margin"
+    ).select("qid")
+    exact = topk.join(exact_ids, "qid", "left_semi")
+
+    residual = q.join(exact_ids, "qid", "left_anti").select(
+        "qid", "q_lat", "q_lon"
+    )
+    fallback = rank_topk(c.crossJoin(F.broadcast(residual)))
+
+    cols = ["qid", "rank", "cid", "dist2"]
+    return exact.select(*cols).unionByName(fallback.select(*cols))

@@ -601,3 +601,44 @@ def asof_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs = spark.range(13).selectExpr("id * id * 600 as esec")
     out = spatial.bracket_irregular(pts, epochs)
     return out.select("id", "t0", "t1", "w1")
+
+
+# ------------------------------------------------ general point-corpus kNN
+
+@register(
+    "knn_points",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+q AS (SELECT id AS qid, lat AS q_lat, lon AS q_lon FROM pts
+      WHERE id % 97 = 0),
+scored AS (
+  SELECT q.qid, p.id AS cid,
+         (q.q_lat - p.lat) * (q.q_lat - p.lat)
+         + (q.q_lon - p.lon) * (q.q_lon - p.lon) AS dist2
+  FROM q JOIN pts p ON p.id != q.qid
+)
+SELECT qid, cast(rank as bigint) AS rank, cid, dist2 FROM (
+  SELECT qid, cid, dist2,
+         row_number() OVER (PARTITION BY qid ORDER BY dist2, cid) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN against an arbitrary point corpus (not the fixed grid):
+    cell-ring filter-refine + certificate + brute-force fallback
+    (operators/knn.knn_points).  The oracle is the exhaustive exact kNN,
+    so this row proves the distributed filter-refine is EXACT, not
+    approximate."""
+    from ionex_spark.operators import knn as knn_ops
+    from ionex_spark.plans.queries import event_points
+
+    pts = event_points(spark, sf_dir)
+    corpus = pts.selectExpr("id as cid", "lat", "lon")
+    queries = pts.filter("id % 97 = 0").selectExpr(
+        "id as qid", "lat", "lon"
+    )
+    out = knn_ops.knn_points(queries, corpus, k=3, cell_deg=5.0)
+    return out.selectExpr(
+        "qid", "cast(rank as bigint) as rank", "cid", "dist2"
+    )

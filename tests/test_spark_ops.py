@@ -191,6 +191,37 @@ def test_lsh_ann_recall(spark):
     assert hit >= 4  # 3 planes ~ >=50% top-1 recall on random data
 
 
+def test_knn_points_exact_both_paths(spark):
+    """General point-corpus kNN must be EXACT regardless of how queries
+    split between the cell-ring path and the brute-force fallback; a
+    small cell_deg forces plenty of fallbacks."""
+    pts = make_points(spark, 400).toPandas()
+    corpus = spark.createDataFrame(
+        pts.rename(columns={"id": "cid"}), "cid bigint, lat double, lon double"
+    )
+    queries = spark.createDataFrame(
+        pts[pts["id"] % 7 == 0].rename(columns={"id": "qid"}),
+        "qid bigint, lat double, lon double",
+    )
+    for cell_deg in (1.0, 20.0):  # sparse cells vs dense cells
+        out = knn_ops.knn_points(queries, corpus, k=3, cell_deg=cell_deg)
+        got = out.toPandas().sort_values(["qid", "rank"])
+        lat = pts["lat"].to_numpy()
+        lon = pts["lon"].to_numpy()
+        ids = pts["id"].to_numpy()
+        for qid in pts[pts["id"] % 7 == 0]["id"]:
+            qi = int(np.flatnonzero(ids == qid)[0])
+            d2 = (lat - lat[qi]) ** 2 + (lon - lon[qi]) ** 2
+            order = sorted(
+                (float(d2[j]), int(ids[j]))
+                for j in range(len(ids))
+                if ids[j] != qid
+            )
+            want = [cid for _, cid in order[:3]]
+            mine = got[got["qid"] == qid]["cid"].tolist()
+            assert mine == want, (cell_deg, qid)
+
+
 def test_lsh_multiprobe_beats_single_bucket(spark):
     """Hamming-1 multi-probe must recover recall that exact-bucket LSH
     loses (measured 0.44 vs 0.04 top-5 recall on the sf0.001 embeddings
