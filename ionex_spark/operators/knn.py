@@ -60,23 +60,25 @@ def knn_grid_points(
     offs = "array(" + ", ".join(
         f"named_struct('di', {di}, 'dj', {dj})" for di, dj in OFFSETS
     ) + ")"
-    # 16 candidate grid points as an in-row struct array; out-of-grid
-    # candidates dropped (not clamped: no duplicates) — edge windows keep
-    # >= 3x3 candidates which still provably contain the top-4
-    base = (
-        f"filter(transform({offs}, o -> named_struct("
-        f" 'g_lat_i', lat_i + o.di, 'g_lon_i', lon_i + o.dj,"
-        f" 'g_lat', {D(g.lat0)} + (lat_i + o.di) * {D(g.dlat)},"
-        f" 'g_lon', {D(g.lon0)} + (lon_i + o.dj) * {D(g.dlon)})),"
-        f" c -> c.g_lat_i between 0 and {g.nlat - 1}"
-        f" and c.g_lon_i between 0 and {g.nlon - 1})"
+    # Higher-order functions evaluate interpreted (no codegen), so the
+    # in-row pipeline is kept MINIMAL: filter offsets first (out-of-grid
+    # candidates dropped, not clamped — edge windows keep >= 3x3 which
+    # still provably contain the top-4), then build lean 2-field structs
+    # (dist2 + packed grid index).  Sorting (dist2, idx) == sorting
+    # (dist2, g_lat_i, g_lon_i) since idx = g_lat_i * nlon + g_lon_i is
+    # lexicographic; the 5 output columns are re-derived from the packed
+    # index AFTER posexplode, in codegen'd projections over k rows/point.
+    g_lat = f"({D(g.lat0)} + (lat_i + o.di) * {D(g.dlat)})"
+    g_lon = f"({D(g.lon0)} + (lon_i + o.dj) * {D(g.dlon)})"
+    valid = (
+        f"filter({offs}, o -> lat_i + o.di between 0 and {g.nlat - 1}"
+        f" and lon_i + o.dj between 0 and {g.nlon - 1})"
     )
     scored = (
-        f"transform({base}, c -> named_struct("
-        f" 'dist2', (({lat}) - c.g_lat) * (({lat}) - c.g_lat)"
-        f" + (({lon}) - c.g_lon) * (({lon}) - c.g_lon),"
-        f" 'g_lat_i', c.g_lat_i, 'g_lon_i', c.g_lon_i,"
-        f" 'g_lat', c.g_lat, 'g_lon', c.g_lon))"
+        f"transform({valid}, o -> named_struct("
+        f" 'dist2', (({lat}) - {g_lat}) * (({lat}) - {g_lat})"
+        f" + (({lon}) - {g_lon}) * (({lon}) - {g_lon}),"
+        f" 'idx', (lat_i + o.di) * {g.nlon} + lon_i + o.dj))"
     )
     topk = f"slice(array_sort({scored}), 1, {k})"
     return p.select(
@@ -84,11 +86,16 @@ def knn_grid_points(
     ).selectExpr(
         id_col,
         "cast(pos + 1 as int) as rank",
-        "c.g_lat_i as g_lat_i",
-        "c.g_lon_i as g_lon_i",
-        "c.g_lat as g_lat",
-        "c.g_lon as g_lon",
+        f"c.idx div {g.nlon} as g_lat_i",
+        f"c.idx % {g.nlon} as g_lon_i",
         "c.dist2 as dist2",
+    ).selectExpr(
+        id_col, "rank", "g_lat_i", "g_lon_i",
+        f"({D(g.lat0)} + g_lat_i * {D(g.dlat)}) as g_lat",
+        f"({D(g.lon0)} + g_lon_i * {D(g.dlon)}) as g_lon",
+        "dist2",
+    ).select(
+        id_col, "rank", "g_lat_i", "g_lon_i", "g_lat", "g_lon", "dist2"
     )
 
 

@@ -197,27 +197,32 @@ def ivf_assign(
     Ties break to the smallest cent_id (fold iterates the array in
     cent_id order and replaces only on strictly-greater sim), matching
     row_number() OVER (ORDER BY sim DESC, cent_id) = 1 exactly."""
-    c = centroids.selectExpr(f"{id_col} as cent_id", f"{vec_col} as cvec")
+    # centroid norms HOISTED into the broadcast array (same double value
+    # as computing them per probe row, so bit-identical cosines — but
+    # n_lists x dim multiplies cheaper per corpus row)
+    c = centroids.selectExpr(
+        f"{id_col} as cent_id",
+        f"{vec_col} as cvec",
+        f"{NORM_SQL.format(a=vec_col)} as cnorm",
+    )
     cents = c.agg(
-        F.expr("sort_array(collect_list(struct(cent_id, cvec)))").alias(
-            "cents"
-        )
+        F.expr(
+            "sort_array(collect_list(struct(cent_id, cvec, cnorm)))"
+        ).alias("cents")
     )
     j = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
     na = NORM_SQL.format(a=vec_col)
     j = j.withColumn("_vnorm", F.expr(na))
     dot = DOT_SQL.format(a=vec_col, b="c.cvec")
-    nb = NORM_SQL.format(a="c.cvec")
-    sim = f"(({dot}) / ((_vnorm) * ({nb})))"
+    sim = f"(({dot}) / ((_vnorm) * (c.cnorm)))"
+    # each cosine evaluated exactly ONCE: transform to (sim, -cent_id)
+    # structs, array_max picks lexicographic max = (max sim, min cent_id)
     best = (
-        "aggregate(cents,"
-        " named_struct('sim', cast('-Infinity' as double),"
-        " 'cid', cast(-1 as bigint)),"
-        f" (acc, c) -> case when {sim} > acc.sim then"
-        f" named_struct('sim', {sim}, 'cid', c.cent_id) else acc end)"
+        f"array_max(transform(cents, c -> named_struct("
+        f"'sim', {sim}, 'negcid', -c.cent_id)))"
     )
     return j.withColumn("_best", F.expr(best)).selectExpr(
-        id_col, vec_col, f"_best.cid as {out}"
+        id_col, vec_col, f"-_best.negcid as {out}"
     )
 
 
