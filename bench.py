@@ -152,10 +152,41 @@ def main() -> None:
     # warm the JVM + parquet footers
     spark.range(1000).count()
 
-    def timed(name, fn):
+    def timed(name, fn, warm=False):
+        # warm=True: one untimed materialization first (codegen JIT +
+        # parquet footers + broadcast build), then time the steady-state
+        # run — the same methodology the flagship uses; single-shot cold
+        # numbers on this box swing 2-3x with JVM state
+        if warm:
+            fn()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+
+    # per-operator timings FIRST (fresh JVM, stable heap): the 200M-row
+    # flagship + image jobs degrade later small-query timings via GC /
+    # memory pressure, so heavyweights run last
+    bench_queries = (
+        ONLY
+        if ONLY
+        else [
+            "tile_bilinear", "temporal_interp", "knn_grid", "knn_points",
+            "pip_polygons", "cell_rollup", "roi_filter", "grid_cells_join",
+            "grid_merge", "dedup_exact", "dedup_minhash_pairs",
+            "dedup_simhash", "dedup_simhash_pairs", "text_features",
+            "similarity_topk", "similarity_lsh_ann",
+            "similarity_lsh_multiprobe", "similarity_ivf",
+        ]
+    )
+    for name in bench_queries:
+        if name in ("tile_assign", "images_e2e") or name not in queries:
+            continue
+        timed(
+            name,
+            lambda n=name: _noop_sink(queries[n](spark, SF_DIR)),
+            warm=True,
+        )
+
 
     if not ONLY or "tile_assign_aligned" in ONLY:
         def aligned():
@@ -228,21 +259,6 @@ def main() -> None:
         lists.count()
         timed("ann_ivf_500k", lambda: sim_ops.ivf_topk(
             lists, qs, cent, k=10, nprobe=2).count())
-
-    bench_queries = (
-        ONLY
-        if ONLY
-        else [
-            "tile_bilinear", "temporal_interp", "knn_grid", "pip_polygons",
-            "cell_rollup", "roi_filter", "grid_cells_join", "grid_merge",
-            "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-            "text_features", "similarity_topk", "similarity_lsh_ann",
-        ]
-    )
-    for name in bench_queries:
-        if name in ("tile_assign", "images_e2e") or name not in queries:
-            continue
-        timed(name, lambda n=name: _noop_sink(queries[n](spark, SF_DIR)))
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

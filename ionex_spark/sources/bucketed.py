@@ -1,0 +1,49 @@
+"""Bucketed tables — shuffle-free co-located joins (SURVEY.md §4.2,
+"co-locate joins via bucketing").
+
+At 100 TB the dominant cost of a repeated big-big equi-join (e.g. IVF
+probe lists joined to a query stream, or tec_points re-joined across
+pipeline runs) is re-shuffling the large side every run.  Writing the
+table BUCKETED by the join key amortizes that shuffle into the write:
+both sides hash-partitioned into the same bucket count on disk, so Spark
+plans a SortMergeJoin with ZERO Exchange (asserted in
+tests/test_bucketed.py).
+
+Local parquet + the session catalog stand in for the warehouse; on a real
+cluster the same calls target the production catalog unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Write df as a parquet table bucketed (and optionally sorted) by
+    ``key``.  Sorting within buckets lets the co-located join skip its
+    sort as well (plan shows SortMergeJoin without preceding Sort when
+    both sides are sorted)."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def cobucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables bucketed on the same key with the same bucket
+    count — planned WITHOUT any Exchange on either side."""
+    left = spark.read.table(left_table)
+    right = spark.read.table(right_table)
+    return left.join(right, key, how)
