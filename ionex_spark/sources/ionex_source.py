@@ -141,43 +141,59 @@ def export_ionex(
             }
         )
 
-    blocks = (
+    blocks_df = (
         tec_points.groupBy("epoch")
         .applyInPandas(fmt_epoch, "epoch timestamp, block string, rms_block string")
         .orderBy("epoch")
-        .collect()
     )
     from ionex_spark.core.ionex_io import _fmt_epoch_body, _fmt_line
 
-    out: list[str] = []
-    # header section via the core writer (empty record)
+    # single-writer assembly is inherent to the one-file IONEX format, but
+    # the driver never holds more than one PARTITION of blocks at a time:
+    # toLocalIterator streams the epoch-ordered result, so a many-epoch
+    # export is bounded by partition size, not file size.  The RMS pass
+    # re-iterates (re-executes the block job) instead of buffering —
+    # trading one recompute for O(partition) driver memory.
+    def fh_open():
+        if out_path.endswith(".gz"):
+            return gzip.open(out_path, "wt", compresslevel=5)
+        return open(out_path, "w")
+
     hdr_only = write_ionex(
         header,
         np.array([], dtype="datetime64[s]"),
         np.zeros((0, nlat, nlon), dtype=np.int64),
     ).splitlines()
-    out.extend(l for l in hdr_only if "END OF FILE" not in l)
-    for i, row in enumerate(blocks):
-        e = np.datetime64(row["epoch"])
-        out.extend(_fmt_line(f"{i + 1:6}", "START OF TEC MAP"))
-        out.extend(_fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"))
-        out.append(row["block"])
-        out.extend(_fmt_line(f"{i + 1:6}", "END OF TEC MAP"))
-    # RMS pass after all TEC maps (reference src/record/formatting.rs:119-201)
-    if any(row["rms_block"] is not None for row in blocks):
-        for i, row in enumerate(blocks):
-            if row["rms_block"] is None:
-                continue
+    has_rms = bool(
+        tec_points.filter("rms_q is not null").limit(1).count()
+    )
+    with fh_open() as fh:
+        for line in hdr_only:
+            if "END OF FILE" not in line:
+                fh.write(line + "\n")
+        for i, row in enumerate(blocks_df.toLocalIterator()):
             e = np.datetime64(row["epoch"])
-            out.extend(_fmt_line(f"{i + 1:6}", "START OF RMS MAP"))
-            out.extend(_fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"))
-            out.append(row["rms_block"])
-            out.extend(_fmt_line(f"{i + 1:6}", "END OF RMS MAP"))
-    out.extend(_fmt_line("", "END OF FILE"))
-    text = "\n".join(out) + "\n"
-    if out_path.endswith(".gz"):
-        with gzip.open(out_path, "wt", compresslevel=5) as fh:
-            fh.write(text)
-    else:
-        with open(out_path, "w") as fh:
-            fh.write(text)
+            for line in _fmt_line(f"{i + 1:6}", "START OF TEC MAP"):
+                fh.write(line + "\n")
+            for line in _fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"):
+                fh.write(line + "\n")
+            fh.write(row["block"] + "\n")
+            for line in _fmt_line(f"{i + 1:6}", "END OF TEC MAP"):
+                fh.write(line + "\n")
+        # RMS pass after all TEC maps (src/record/formatting.rs:119-201)
+        if has_rms:
+            for i, row in enumerate(blocks_df.toLocalIterator()):
+                if row["rms_block"] is None:
+                    continue
+                e = np.datetime64(row["epoch"])
+                for line in _fmt_line(f"{i + 1:6}", "START OF RMS MAP"):
+                    fh.write(line + "\n")
+                for line in _fmt_line(
+                    _fmt_epoch_body(e), "EPOCH OF CURRENT MAP"
+                ):
+                    fh.write(line + "\n")
+                fh.write(row["rms_block"] + "\n")
+                for line in _fmt_line(f"{i + 1:6}", "END OF RMS MAP"):
+                    fh.write(line + "\n")
+        for line in _fmt_line("", "END OF FILE"):
+            fh.write(line + "\n")
