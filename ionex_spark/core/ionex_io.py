@@ -341,7 +341,10 @@ def parse_ionex(text: str) -> tuple[IonexHeader, np.ndarray, np.ndarray, np.ndar
                     try:
                         cur_vals.append(int(item))
                     except ValueError:
-                        pass  # skip unparseable item, keep the row
+                        # positional format: dropping the item would shift
+                        # every later value one column west — substitute
+                        # the missing-data sentinel instead
+                        cur_vals.append(9999)
     flush_row()
 
     ep = np.array(epochs, dtype="datetime64[s]")

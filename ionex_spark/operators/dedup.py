@@ -315,8 +315,16 @@ def simhash_near_dup_pairs(
     candidates -> XOR-popcount hamming verify (<= max_hamming).
 
     The 4x16-bit blocking guarantees the candidate stage misses nothing
-    within hamming distance 3, so verify-then-filter is exact for the
-    default threshold.  Output: (id_a, id_b, hamming)."""
+    within hamming distance 3 (pigeonhole: 4 bands, <= 3 differing bits
+    leave one band equal), so verify-then-filter is exact for
+    max_hamming <= 3 — and ONLY then; larger thresholds would silently
+    miss pairs whose differing bits spread across all bands.
+    Output: (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit band blocking is only complete for max_hamming <= 3;"
+            f" got {max_hamming}"
+        )
     sig = simhash64(df, id_col, text_col, backend)
     cand = simhash_candidate_pairs(sig, id_col)
     sa = sig.selectExpr(

@@ -37,18 +37,25 @@ def merge_tec_points(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
     )
     m = l.join(r, KEY, "full_outer")
     m = m.withColumn("exp_out", F.coalesce("exp", "r_exp"))
-    rms_out = (
-        "CASE WHEN rms_q IS NOT NULL THEN rms_q"
-        " WHEN r_rms_q IS NOT NULL THEN"
-        "  cast(round(r_rms_q * power(cast(10 as double),"
-        "  cast(r_exp - exp_out as double))) as bigint)"
-        " ELSE NULL END"
-    )
+
+    def _fill_rescaled(own: str, other: str) -> str:
+        # a quantized value filled from rhs is an integer under RHS's
+        # exponent; rescale to the merged row's exponent so its REAL
+        # value is preserved (tecu_q can be filled cross-row too now that
+        # RMS-only rows carry NULL tecu_q)
+        return (
+            f"CASE WHEN {own} IS NOT NULL THEN {own}"
+            f" WHEN {other} IS NOT NULL THEN"
+            f"  cast(round({other} * power(cast(10 as double),"
+            f"  cast(r_exp - exp_out as double))) as bigint)"
+            f" ELSE NULL END"
+        )
+
     return m.select(
         *KEY,
-        F.coalesce("tecu_q", "r_tecu_q").alias("tecu_q"),
+        F.expr(_fill_rescaled("tecu_q", "r_tecu_q")).alias("tecu_q"),
         F.col("exp_out").alias("exp"),
-        F.expr(rms_out).alias("rms_q"),
+        F.expr(_fill_rescaled("rms_q", "r_rms_q")).alias("rms_q"),
     )
 
 

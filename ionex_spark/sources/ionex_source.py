@@ -124,7 +124,13 @@ def export_ionex(
         dense = np.full((nlat, nlon), 9999, dtype=np.int64)
         li = np.rint((pdf["lat"].to_numpy() - lat0) / dlat).astype(int)
         lo = np.rint((pdf["lon"].to_numpy() - lon0) / dlon).astype(int)
-        dense[li, lo] = pdf["tecu_q"].to_numpy()
+        # tecu_q is nullable (RMS-only points): NULL arrives as NaN and an
+        # unsafe float->int64 cast would write INT64_MIN into the raster —
+        # mask to keep the 9999 sentinel instead
+        tmask = pdf["tecu_q"].notna().to_numpy()
+        dense[li[tmask], lo[tmask]] = (
+            pdf["tecu_q"].to_numpy()[tmask].astype(np.int64)
+        )
         rms_block = None
         if "rms_q" in pdf.columns and pdf["rms_q"].notna().any():
             rms = np.full((nlat, nlon), 9999, dtype=np.int64)
@@ -164,15 +170,14 @@ def export_ionex(
         np.array([], dtype="datetime64[s]"),
         np.zeros((0, nlat, nlon), dtype=np.int64),
     ).splitlines()
-    has_rms = bool(
-        tec_points.filter("rms_q is not null").limit(1).count()
-    )
     with fh_open() as fh:
         for line in hdr_only:
             if "END OF FILE" not in line:
                 fh.write(line + "\n")
+        has_rms = False  # learned for free while streaming the TEC pass
         for i, row in enumerate(blocks_df.toLocalIterator()):
             e = np.datetime64(row["epoch"])
+            has_rms = has_rms or row["rms_block"] is not None
             for line in _fmt_line(f"{i + 1:6}", "START OF TEC MAP"):
                 fh.write(line + "\n")
             for line in _fmt_line(_fmt_epoch_body(e), "EPOCH OF CURRENT MAP"):

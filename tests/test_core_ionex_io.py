@@ -299,3 +299,26 @@ def test_height_map_parsing():
     assert h2.height_q is not None and h2.height_q.shape == (1, 71, 73)
     np.testing.assert_array_equal(h2.height_q[0], h)
     np.testing.assert_array_equal(tec2, dense)
+
+
+def test_corrupt_data_item_keeps_positions():
+    """An unparseable data item becomes the 9999 sentinel; values after
+    it stay in their true longitude columns (no west-shift)."""
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    lines = write_ionex(hdr, epochs, dense).splitlines()
+    # corrupt the SECOND 5-char item of the first data line
+    si = [i for i, l in enumerate(lines) if "LAT/LON1/LON2/DLON/H" in l][0]
+    d = lines[si + 1]
+    lines[si + 1] = d[:5] + "   XX" + d[10:]
+    _, _, tec2, _ = parse_ionex("\n".join(lines) + "\n")
+    assert tec2[0, 0, 1] == 9999  # corrupt -> sentinel
+    np.testing.assert_array_equal(tec2[0, 0, 2:], dense[0, 0, 2:])  # no shift
+    assert tec2[0, 0, 0] == dense[0, 0, 0]
+
+
+def test_simhash_pairs_rejects_wide_threshold():
+    from ionex_spark.operators import dedup as dd2
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dd2.simhash_near_dup_pairs(None, max_hamming=4)

@@ -116,3 +116,44 @@ def test_merge_rms_fill_rescales_exponent(spark):
     assert row.tecu_q == 35 and row.exp == -1  # lhs wins
     # filled rms rescaled: 350 * 10^(-2 - -1) = 35 (still 3.5 TECU real)
     assert row.rms_q == 35
+
+
+def test_merge_tecu_fill_rescales_exponent(spark):
+    """tecu_q filled from rhs onto an RMS-only lhs row is rescaled to the
+    merged exponent, same as rms_q (real value preserved)."""
+    l = spark.createDataFrame(
+        [("2022-01-01 00:00:00", 10.0, 20.0, 450.0, None, -1, 30)],
+        "epoch string, lat double, lon double, alt double,"
+        " tecu_q long, exp int, rms_q long",
+    ).selectExpr("timestamp(epoch) as epoch", "lat", "lon", "alt",
+                 "tecu_q", "exp", "rms_q")
+    r = spark.createDataFrame(
+        [("2022-01-01 00:00:00", 10.0, 20.0, 450.0, 350, -2, None)],
+        "epoch string, lat double, lon double, alt double,"
+        " tecu_q long, exp int, rms_q long",
+    ).selectExpr("timestamp(epoch) as epoch", "lat", "lon", "alt",
+                 "tecu_q", "exp", "rms_q")
+    row = mg.merge_tec_points(l, r).collect()[0]
+    assert row.exp == -1 and row.rms_q == 30
+    # 350 under exp -2 (3.5 TECU) -> 35 under exp -1 (still 3.5 TECU)
+    assert row.tecu_q == 35
+
+
+def test_export_rms_only_point_roundtrip(spark, tmp_path):
+    """An RMS-only grid point (NULL tecu_q) must export as the 9999
+    sentinel in the TEC raster, not as a garbage int from a NaN cast."""
+    import numpy as np
+
+    p = str(tmp_path / "R.22I")
+    hdr = make_header(1)
+    epochs, dense = make_grids(1)
+    rms = np.full_like(dense, 3)
+    dense[0, 5, 7] = 9999  # RMS-only point
+    write_ionex_file(p, hdr, epochs, dense, rms)
+    pts = read_ionex(spark, p)
+    out = str(tmp_path / "O.22I")
+    export_ionex(pts, read_header(p), out)
+    _, _, tec2, rms2 = read_ionex_file(out)
+    np.testing.assert_array_equal(tec2, dense)
+    np.testing.assert_array_equal(rms2, rms)
+    assert tec2[0, 5, 7] == 9999
