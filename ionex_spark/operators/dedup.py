@@ -222,6 +222,54 @@ def jaccard_verify(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> dedup GROUPS:
+    every document labeled with the smallest doc id reachable through the
+    pair graph (the canonical representative), isolated docs labeling
+    themselves.  Output: (doc_id, group_id).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (dozens of docs, a
+    hub-and-spoke shape), so this terminates in a handful of rounds where
+    a 100 TB adversarial graph would want the alternating large-star/
+    small-star variant (same join primitive, O(log n) rounds).  Each
+    round is ONE shuffle (groupBy node); lineage is cut per round with
+    localCheckpoint so the plan stays flat."""
+    sym = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        incoming = (
+            sym.join(labels, sym.src == labels.node)
+            .selectExpr("dst as node", "label")
+        )
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label < o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.selectExpr(f"node as {id_col}", "label as group_id")
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -71,9 +71,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signatures(docs, N_MINHASH, backend="md5")
 
 
-@register(
-    "dedup_minhash_pairs",
-    oracle=f"""
+_DUCK_PAIRS_SQL = f"""
 WITH mh AS ({_DUCK_MINHASH}),
 bands AS ({_DUCK_BANDS}),
 cand AS (
@@ -98,8 +96,10 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE cast(i.n_inter as double) / cast(sa.sz + sb.sz - i.n_inter as double)
       >= cast(0.5 as double)
-""",
-)
+"""
+
+
+@register("dedup_minhash_pairs", oracle=_DUCK_PAIRS_SQL)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH bands -> candidate pairs ->
     exact jaccard verify >= 0.5."""
@@ -107,6 +107,41 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(docs, N_MINHASH, backend="md5")
     pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND)
     return dd.jaccard_verify(pairs, docs, threshold=0.5)
+
+
+@register(
+    "dedup_groups",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+r(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node
+)
+SELECT src AS doc_id, min(node) AS group_id,
+       CASE WHEN src = min(node) THEN 1 ELSE 0 END AS is_keeper
+FROM r GROUP BY src
+""",
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment — the step after pair detection a real
+    pipeline needs: connected components over the verified near-dup pair
+    graph (iterative min-label propagation), every doc labeled with its
+    canonical representative (min reachable id).  Oracle: DuckDB
+    recursive-CTE transitive closure."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dd.minhash_signatures(docs, N_MINHASH, backend="md5")
+    cand = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND)
+    pairs = dd.jaccard_verify(cand, docs, threshold=0.5)
+    groups = dd.connected_components(docs.select("doc_id"), pairs)
+    return groups.selectExpr(
+        "doc_id", "group_id",
+        "CASE WHEN doc_id = group_id THEN 1 ELSE 0 END as is_keeper",
+    )
 
 
 def _duck_simhash_sig() -> str:

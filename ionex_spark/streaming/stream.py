@@ -60,6 +60,23 @@ def windowed_tile_counts(
     )
 
 
+def streaming_dedup_exact(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop key-duplicates across micro-batches
+    with BOUNDED state — dropDuplicatesWithinWatermark keeps a key only
+    until the watermark passes its event time, so state size tracks the
+    late-data horizon instead of the whole stream (the 100 TB requirement
+    for a dedup that runs forever).  The batch twin is
+    operators/dedup.exact_dedup."""
+    return points.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 # ------------------------------------------------ custom stateful operator
 
 STATE_SCHEMA = "n bigint, sum_tec double"

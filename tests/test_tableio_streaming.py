@@ -126,3 +126,38 @@ def test_streaming_tile_pipeline(spark, tmp_path):
     assert len(gw) == len(ww)
     np.testing.assert_array_equal(gw["tile_id"], ww["tile_id"])
     np.testing.assert_array_equal(gw["n"], ww["count"])
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key across
+    micro-batches (bounded state: keys expire past the watermark)."""
+    from ionex_spark.streaming.stream import (
+        stream_points_from_files,
+        streaming_dedup_exact,
+    )
+
+    src = str(tmp_path / "dsrc")
+    # 300 rows over 100 distinct keys, same event-time hour
+    batch = spark.range(300).selectExpr(
+        "id % 100 as key",
+        "concat('payload-', id % 100) as payload",
+        "timestamp '2022-01-02 00:00:00' + make_interval(0, 0, 0, 0, 0, 0,"
+        " id % 60) as ts",
+    )
+    batch.repartition(3).write.parquet(src)
+
+    schema = "key bigint, payload string, ts timestamp"
+    stream = stream_points_from_files(spark, src, schema)
+    deduped = streaming_dedup_exact(stream, ["key"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select key, count(*) as n from dedup_stream group by key")
+    pdf = got.toPandas()
+    assert len(pdf) == 100
+    assert (pdf["n"] == 1).all()
