@@ -391,6 +391,41 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_rollup",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM events
+GROUP BY 1
+""",
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a hot-key column (few event types
+    = Zipfian groups): stage 1 spreads each key over 16 salt buckets,
+    stage 2 merges the tiny partials — same answer as a plain GROUP BY
+    (the oracle), which is the point: identical semantics, skew-immune
+    shuffle (operators/skew.salted_rollup).  Sums go through DECIMAL so
+    the two-stage re-combination is exact."""
+    from ionex_spark.operators import skew
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id as id",
+        "event_type",
+        "cast(value as decimal(18,6)) as value_d",
+    )
+    out = skew.salted_rollup(
+        ev, ["event_type"], {"id": "count", "value_d": "sum"},
+        n_salts=16, entropy_col="id",
+    )
+    return out.selectExpr(
+        "event_type",
+        "count_id as n",
+        "cast(sum_value_d as double) as sum_value",
+    )
+
+
 # ------------------------------------------------ geodesic cell metrics
 
 @register(
