@@ -32,7 +32,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ONLY = [q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q]
 N_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000000"))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+# 1M payload rows: at 200k the e2e number was fixed-cost dominated
+# (12.2s/200k vs 12.9s/1M measured) — the bigger table reports honest
+# steady-state throughput; generation is one-time (cached under .bench/)
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "1000000"))
 IMAGES_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench", f"images_{N_IMAGES}"
 )
