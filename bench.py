@@ -176,7 +176,8 @@ def main() -> None:
             "tile_bilinear", "temporal_interp", "knn_grid", "knn_points",
             "pip_polygons", "cell_rollup", "roi_filter", "grid_cells_join",
             "grid_merge", "dedup_exact", "dedup_minhash_pairs",
-            "dedup_simhash", "dedup_simhash_pairs", "text_features",
+            "dedup_groups", "dedup_simhash", "dedup_simhash_pairs",
+            "text_features", "skew_salted_rollup",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
         ]

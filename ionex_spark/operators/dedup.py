@@ -181,20 +181,21 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-set jaccard for candidate pairs (the verify stage).
 
-    The shingle table is first LEFT-SEMI-joined against the candidate doc
-    ids: at 100 TB the candidates are a tiny fraction of the corpus, so
-    shuffling the full token table into the pairwise join would dominate
-    the whole pipeline.  Per-doc shingle counts are unchanged by the
-    semi-join, so jaccard values are identical."""
+    The DOCUMENT table is LEFT-SEMI-joined against the candidate doc ids
+    BEFORE shingling: at 100 TB the candidates are a tiny fraction of the
+    corpus, so only they are tokenized at all — the filter sits below the
+    explode, which Catalyst cannot do automatically through a Generate.
+    Per-doc shingle counts are unchanged, so jaccard values are
+    identical."""
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
+    docs_c = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
+    toks = shingles_exploded(docs_c, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
-    toks = toks.join(cand_ids, id_col, "left_semi")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = toks.withColumnRenamed(id_col, "id_a")
     tb = toks.withColumnRenamed(id_col, "id_b")
