@@ -1,0 +1,77 @@
+"""Thin-shell ionosphere pierce point — Spark exprs vs numpy twin +
+physical sanity (the reference stubs this computation, src/ipp.rs:18-27;
+model from the public IONEX paper, Schaer et al. 1998)."""
+
+import numpy as np
+import pytest
+
+from ionex_spark.operators import ipp
+
+pytestmark = pytest.mark.spark
+
+
+def test_ipp_matches_numpy_twin(spark):
+    n = 500
+    df = spark.range(n).selectExpr(
+        "cast(id % 171 - 85 as double) as lat",
+        "cast((id * 7) % 360 - 180 as double) as lon",
+        "cast(5 + (id * 13) % 85 as double) as elev",
+        "cast((id * 29) % 360 as double) as azim",
+    )
+    got = ipp.with_ipp(df).toPandas()
+    w_lat, w_lon, w_slant = ipp.ipp_numpy(
+        got["lat"], got["lon"], got["elev"], got["azim"]
+    )
+    np.testing.assert_allclose(got["ipp_lat"], w_lat, atol=1e-9)
+    np.testing.assert_allclose(got["ipp_lon"], w_lon, atol=1e-9)
+    np.testing.assert_allclose(got["slant"], w_slant, atol=1e-12)
+
+
+def test_ipp_physics(spark):
+    """Zenith observation pierces directly overhead with slant 1; low
+    elevation pushes the pierce point hundreds of km toward the satellite
+    and slant well above 1."""
+    rows = [(45.0, 10.0, 90.0, 0.0), (45.0, 10.0, 10.0, 0.0),
+            (0.0, 0.0, 30.0, 90.0)]
+    df = spark.createDataFrame(
+        rows, "lat double, lon double, elev double, azim double"
+    )
+    out = {(r.lat, r.elev): r for r in ipp.with_ipp(df).collect()}
+    zen = out[(45.0, 90.0)]
+    assert abs(zen.ipp_lat - 45.0) < 1e-9
+    assert abs(zen.ipp_lon - 10.0) < 1e-9
+    assert abs(zen.slant - 1.0) < 1e-12
+    low = out[(45.0, 10.0)]
+    assert low.ipp_lat > 46.0  # azimuth 0 = due north
+    assert low.slant > 2.0
+    east = out[(0.0, 30.0)]
+    assert east.ipp_lon > 0.5 and abs(east.ipp_lat) < 1e-9
+
+
+def test_ipp_feeds_spatial_join(spark):
+    """Pierce points flow straight into the engine's tile assignment:
+    slant TEC = vertical TEC (map value at the IPP) * slant factor."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.operators import spatial
+
+    pts = spark.range(200).selectExpr(
+        "id",
+        "cast(id % 120 - 60 as double) as lat",
+        "cast((id * 11) % 300 - 150 as double) as lon",
+        "cast(15 + id % 70 as double) as elev",
+        "cast((id * 37) % 360 as double) as azim",
+        "cast(id % 25 as bigint) as slot",
+    )
+    pierced = ipp.with_ipp(pts).selectExpr(
+        "id", "ipp_lat as lat", "ipp_lon as lon", "slot", "slant"
+    ).filter("lat between -87.5 and 87.5 and lon between -180 and 180")
+    cells = spatial.build_tec_cells(spark)
+    out = spatial.spatial_join_bilinear(pierced, cells).withColumn(
+        "slant_tec", F.expr("tec * slant")
+    )
+    pdf = out.select("id", "tec", "slant", "slant_tec").toPandas()
+    assert len(pdf) > 0
+    np.testing.assert_allclose(
+        pdf["slant_tec"], pdf["tec"] * pdf["slant"], rtol=0, atol=0
+    )
