@@ -268,6 +268,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a silent partial result would split one component into several
+        # groups and keep duplicate docs — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter}"
+            f" rounds ({changed} labels still changing); the graph"
+            f" diameter exceeds max_iter — raise it or use a"
+            f" star-contraction variant"
+        )
     return labels.selectExpr(f"node as {id_col}", "label as group_id")
 
 

@@ -12,9 +12,17 @@ sphere of radius R:
 
     psi  = pi/2 - E - asin(R/(R+h) * cos(E))        (earth-central angle)
     lat' = asin(sin(lat) cos(psi) + cos(lat) sin(psi) cos(A))
-    lon' = lon + asin(sin(psi) sin(A) / cos(lat'))
+    lon' = lon + atan2(sin(A) sin(psi) cos(lat),
+                       cos(psi) - sin(lat) sin(lat'))
     zen' = asin(R/(R+h) * cos(E))                   (zenith at the IPP)
     slant COSZ = 1 / cos(zen')                      (src/mapf.rs CosZ)
+
+lon' uses the atan2 great-circle destination form (not the naive
+asin(sin psi sin A / cos lat')): it stays correct when the ray passes
+over a pole (high-latitude receivers looking poleward land on the
+opposite meridian) and never divides by cos(lat') -> no NaN at the
+poles.  The result is wrapped into [-180, 180) so downstream grid
+indexing never clamps an antimeridian crossing to the wrong edge cell.
 
 Everything is a vectorized Spark column expression (JVM trig, no Python
 in the loop); the numpy twin `ipp_numpy` is the pytest oracle — the
@@ -37,15 +45,13 @@ from ionex_spark.functions.sqlgen import D
 R_EARTH_KM = 6371.0
 SHELL_KM = 450.0  # the reference grids' HGT1 (ckmg_grid alt)
 
-_DEG = "(cast({x} as double) * {pi} / 180.0)"
-
 
 def _ipp_exprs(
     lat: str, lon: str, elev: str, azim: str,
     r_km: float = R_EARTH_KM, h_km: float = SHELL_KM,
 ) -> dict[str, str]:
     """SQL fragments for the thin-shell pierce point (angles in degrees
-    in, degrees out; slant dimensionless)."""
+    in, degrees out, lon wrapped to [-180, 180); slant dimensionless)."""
     pi = D(np.pi)
     ratio = D(r_km / (r_km + h_km))
     la = f"radians(cast({lat} as double))"
@@ -58,10 +64,17 @@ def _ipp_exprs(
         f"asin(sin({la}) * cos({psi})"
         f" + cos({la}) * sin({psi}) * cos({az}))"
     )
-    lon_p = f"({lo} + asin(sin({psi}) * sin({az}) / cos({lat_p})))"
+    # pole-safe great-circle destination longitude (atan2 form)
+    lon_p = (
+        f"({lo} + atan2(sin({az}) * sin({psi}) * cos({la}),"
+        f" cos({psi}) - sin({la}) * sin({lat_p})))"
+    )
+    lon_deg_wrapped = (
+        f"(pmod(degrees({lon_p}) + 180.0, 360.0) - 180.0)"
+    )
     return {
         "ipp_lat": f"degrees({lat_p})",
-        "ipp_lon": f"degrees({lon_p})",
+        "ipp_lon": lon_deg_wrapped,
         "slant": f"(1.0 / cos({zen_p}))",
     }
 
@@ -96,9 +109,12 @@ def ipp_numpy(
     lat_p = np.arcsin(
         np.sin(la) * np.cos(psi) + np.cos(la) * np.sin(psi) * np.cos(az)
     )
-    lon_p = lo + np.arcsin(np.sin(psi) * np.sin(az) / np.cos(lat_p))
+    lon_p = lo + np.arctan2(
+        np.sin(az) * np.sin(psi) * np.cos(la),
+        np.cos(psi) - np.sin(la) * np.sin(lat_p),
+    )
     return (
         np.degrees(lat_p),
-        np.degrees(lon_p),
+        (np.degrees(lon_p) + 180.0) % 360.0 - 180.0,
         1.0 / np.cos(zen_p),
     )

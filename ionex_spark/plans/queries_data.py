@@ -134,9 +134,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical representative (min reachable id).  Oracle: DuckDB
     recursive-CTE transitive closure."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sigs = dd.minhash_signatures(docs, N_MINHASH, backend="md5")
-    cand = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND)
-    pairs = dd.jaccard_verify(cand, docs, threshold=0.5)
+    # the pair pipeline IS dedup_minhash_pairs — one definition, so the
+    # Spark side can never drift from the shared _DUCK_PAIRS_SQL oracle
+    pairs = dedup_minhash_pairs(spark, sf_dir)
     groups = dd.connected_components(docs.select("doc_id"), pairs)
     return groups.selectExpr(
         "doc_id", "group_id",

@@ -48,6 +48,39 @@ def test_ipp_physics(spark):
     assert east.ipp_lon > 0.5 and abs(east.ipp_lat) < 1e-9
 
 
+def test_ipp_pole_crossing_and_antimeridian(spark):
+    """The atan2 destination form handles rays past the pole (pierce
+    point lands on the opposite meridian) and output longitude is wrapped
+    to [-180, 180) so antimeridian crossings never clamp to the wrong
+    grid edge."""
+    rows = [
+        (88.0, 10.0, 5.0, 0.0),    # looking due north from near the pole
+        (45.0, 179.5, 15.0, 90.0),  # looking east across the dateline
+    ]
+    df = spark.createDataFrame(
+        rows, "lat double, lon double, elev double, azim double"
+    )
+    out = {r.lat: r for r in ipp.with_ipp(df).collect()}
+    polar = out[88.0]
+    # past the pole: latitude comes back down, longitude flips ~180 deg
+    assert polar.ipp_lat < 88.0
+    assert abs(abs(polar.ipp_lon - 10.0) - 180.0) < 1.0
+    dateline = out[45.0]
+    # ~14.8 deg eastward travel: 179.5 -> -165.7 (wrapped, not clamped)
+    assert -180.0 <= dateline.ipp_lon < -160.0
+    # and the numpy twin agrees on both exotic cases
+    w_lat, w_lon, _ = ipp.ipp_numpy(
+        [r[0] for r in rows], [r[1] for r in rows],
+        [r[2] for r in rows], [r[3] for r in rows],
+    )
+    np.testing.assert_allclose(
+        [out[88.0].ipp_lat, out[45.0].ipp_lat], w_lat, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        [out[88.0].ipp_lon, out[45.0].ipp_lon], w_lon, atol=1e-9
+    )
+
+
 def test_ipp_feeds_spatial_join(spark):
     """Pierce points flow straight into the engine's tile assignment:
     slant TEC = vertical TEC (map value at the IPP) * slant factor."""

@@ -222,6 +222,21 @@ def test_knn_points_exact_both_paths(spark):
             assert mine == want, (cell_deg, qid)
 
 
+def test_connected_components_chain_and_convergence_guard(spark):
+    """A 30-doc chain is one group (label = min id) when max_iter covers
+    the diameter, and raises instead of silently splitting when not."""
+    nodes = spark.range(32).selectExpr("id as doc_id")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "id_a bigint, id_b bigint"
+    )
+    got = dd.connected_components(nodes, chain, max_iter=30).toPandas()
+    labels = dict(zip(got["doc_id"], got["group_id"]))
+    assert all(labels[i] == 0 for i in range(30))
+    assert labels[30] == 30 and labels[31] == 31  # isolated docs
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(nodes, chain, max_iter=3)
+
+
 def test_lsh_multiprobe_beats_single_bucket(spark):
     """Hamming-1 multi-probe must recover recall that exact-bucket LSH
     loses (measured 0.44 vs 0.04 top-5 recall on the sf0.001 embeddings

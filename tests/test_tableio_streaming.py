@@ -110,7 +110,7 @@ def test_streaming_tile_pipeline(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql(
         "select tile_id, sum(n_points) as n from tiles_stream group by tile_id"
     ).toPandas()
@@ -156,7 +156,7 @@ def test_streaming_dedup_exact(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = spark.sql("select key, count(*) as n from dedup_stream group by key")
     pdf = got.toPandas()
     assert len(pdf) == 100
