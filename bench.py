@@ -178,6 +178,7 @@ def main() -> None:
             "grid_merge", "dedup_exact", "dedup_minhash_pairs",
             "dedup_groups", "dedup_simhash", "dedup_simhash_pairs",
             "text_features", "skew_salted_rollup",
+            "stratified_sample", "pack_sequences",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
         ]

@@ -107,3 +107,89 @@ def rolling_hash_sql(s: str, dialect: str = "spark") -> str:
         f"regexp_extract_all({s}, '.'), c -> CAST(ascii(c) AS BIGINT))),"
         " (acc, c) -> (acc * 31 + c) % 1000000007)"
     )
+
+
+# ------------------------------------------------ sampling & packing ops
+
+def sample_hash_sql(id_expr: str, dialect: str = "spark") -> str:
+    """Deterministic sampling hash in [0, 10000): md5 of the id, first 15
+    hex chars as int64, mod 1e4 — identical value in Spark and DuckDB, so
+    a sampled dataset is REPRODUCIBLE across engines and reruns (the
+    seeded-rand alternative is neither)."""
+    if dialect == "spark":
+        h = (
+            f"cast(conv(substr(md5(cast({id_expr} as string)), 1, 15),"
+            f" 16, 10) as bigint)"
+        )
+    else:
+        h = (
+            f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)),"
+            f" 1, 15)) AS BIGINT)"
+        )
+    return f"({h} % 10000)"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its sampling
+    hash falls under the stratum's threshold.  Narrow (no shuffle, no
+    state), reproducible, and exact-in-expectation per stratum — the
+    standard shape for language/quality rebalancing of a 100 TB corpus."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(round(f * 10000))}"
+        for k, f in fractions.items()
+    )
+    thresh = f"(CASE {cases} ELSE 0 END)"
+    return df.filter(
+        F.expr(f"{sample_hash_sql(id_col)} < {thresh}")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    shard_expr: str | None = None,
+) -> DataFrame:
+    """Sequential training-sequence packing: docs are sharded by id hash,
+    ordered within each shard, and assigned to fixed-budget sequences by
+    running token count (seq boundary every ``budget_tokens``).
+
+    Output: (doc_id, shard, seq_id, seq_offset_tokens, n_tokens).  The
+    window is PARTITIONED by shard so the running sum shuffles once and
+    parallelizes across shards — the Megatron-style sequential-fill
+    packing, not NP-hard bin packing (docs longer than the budget still
+    get their own sequences)."""
+    from pyspark.sql.window import Window
+
+    # xxhash64 is the fast production shard hash; the oracled query passes
+    # the portable md5-based expression instead (DuckDB has no xxhash64)
+    shard = shard_expr or f"pmod(xxhash64({id_col}), {n_shards})"
+    sharded = df.selectExpr(
+        id_col,
+        f"{shard} as shard",
+        f"cast({tokens_col} as bigint) as n_tokens",
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = sharded.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return cum.selectExpr(
+        id_col,
+        "shard",
+        f"cum_before div {budget_tokens} as seq_id",
+        f"cum_before % {budget_tokens} as seq_offset_tokens",
+        "n_tokens",
+    )

@@ -503,6 +503,68 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- sampling & sequence packing
+
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE ({tx.sample_hash_sql('doc_id', 'duckdb')}) <
+      (CASE WHEN lang = 'en' THEN 5000
+            WHEN lang = 'de' THEN 2500
+            WHEN lang = 'fr' THEN 1000 ELSE 0 END)
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rebalancing sample (md5-hash gate, no
+    rand(): reproducible across engines and reruns) — the corpus
+    rebalancing step of a training-data pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.stratified_sample(docs, "lang", _SAMPLE_FRACS)
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         ({tx.sample_hash_sql('doc_id', 'duckdb')}) % 8 AS shard,
+         CAST({tx.token_count_duckdb_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset_tokens, n_tokens
+FROM c
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: shard by portable id hash, order within
+    shard, assign docs to 512-token sequences by running token count —
+    one window shuffle, parallel across shards (Megatron-style
+    sequential fill)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"{tx.token_count_sql('text')} as n_tokens"
+    )
+    out = tx.pack_sequences(
+        docs,
+        budget_tokens=512,
+        n_shards=8,
+        shard_expr=f"({tx.sample_hash_sql('doc_id', 'spark')}) % 8",
+    )
+    return out
+
+
 _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
