@@ -42,6 +42,29 @@ def token_hash_duckdb_sql(token_expr: str, seed: int) -> str:
     )
 
 
+def km_base_sql(token_expr: str, seed: int, backend: str = "md5",
+                dialect: str = "spark") -> str:
+    """One of the TWO base hashes for Kirsch-Mitzenmacher double hashing
+    (h_j = h1 + j*h2): k minhash functions from 2 hash computations
+    instead of k, with the same minhash convergence guarantees (Kirsch &
+    Mitzenmacher 2006, public result).
+
+    md5 path: 14 hex chars -> h < 2^56, so h1 + 15*h2 < 2^60 — no int64
+    overflow (ANSI-safe); identical arithmetic in Spark and DuckDB.
+    xxhash64 path (production): shiftright by 6 bounds |h| < 2^58."""
+    if backend == "xxhash64":
+        return f"shiftright(xxhash64({token_expr}, {seed}), 6)"
+    if dialect == "spark":
+        return (
+            f"cast(conv(substr(md5(concat('{seed}:', {token_expr})),"
+            f" 1, 14), 16, 10) as bigint)"
+        )
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', {token_expr})),"
+        f" 1, 14)) AS BIGINT)"
+    )
+
+
 def tokens_exploded(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, token) rows: lowercase, split on single spaces, drop empties."""
@@ -121,12 +144,21 @@ def minhash_signatures(
     """(id, mh_0..mh_{n-1}) minhash signature over word-trigram shingles.
 
     One explode + one groupBy: all n min-aggregations share the single
-    shuffle on id (map-side combine keeps it small)."""
+    shuffle on id (map-side combine keeps it small).  The n hash
+    functions come from TWO base hashes via Kirsch-Mitzenmacher double
+    hashing (h_j = h1 + j*h2) computed once per token as columns — the
+    hashing work in the heavy explode stage is constant in n_hashes."""
     toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
+    toks = toks.withColumns(
+        {
+            "_h1": F.expr(km_base_sql("token", 1, backend)),
+            "_h2": F.expr(km_base_sql("token", 2, backend)),
+        }
+    )
     aggs = [
-        F.min(F.expr(token_hash_sql("token", j, backend))).alias(f"mh_{j}")
+        F.min(F.expr(f"_h1 + {j} * _h2")).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)

@@ -49,10 +49,14 @@ _DUCK_UNIGRAMS = """
   ) WHERE length(token) > 0
 """
 
-_DUCK_MINHASH = "SELECT doc_id, " + ", ".join(
-    f"min({dd.token_hash_duckdb_sql('token', j)}) AS mh_{j}"
-    for j in range(N_MINHASH)
-) + f" FROM ({_DUCK_TOKENS}) GROUP BY doc_id"
+_DUCK_MINHASH = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(h1 + {j} * h2) AS mh_{j}" for j in range(N_MINHASH))
+    + " FROM (SELECT doc_id, "
+    + f"{dd.km_base_sql('token', 1, dialect='duckdb')} AS h1, "
+    + f"{dd.km_base_sql('token', 2, dialect='duckdb')} AS h2"
+    + f" FROM ({_DUCK_TOKENS})) GROUP BY doc_id"
+)
 
 _DUCK_BANDS = "SELECT doc_id, band, key FROM (" + " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, concat_ws('_', mh_{b * BAND}, mh_{b * BAND + 1}) AS key"
