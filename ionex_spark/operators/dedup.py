@@ -42,27 +42,14 @@ def token_hash_duckdb_sql(token_expr: str, seed: int) -> str:
     )
 
 
-def km_base_sql(token_expr: str, seed: int, backend: str = "md5",
-                dialect: str = "spark") -> str:
-    """One of the TWO base hashes for Kirsch-Mitzenmacher double hashing
-    (h_j = h1 + j*h2): k minhash functions from 2 hash computations
-    instead of k, with the same minhash convergence guarantees (Kirsch &
-    Mitzenmacher 2006, public result).
-
-    md5 path: 14 hex chars -> h < 2^56, so h1 + 15*h2 < 2^60 — no int64
-    overflow (ANSI-safe); identical arithmetic in Spark and DuckDB.
-    xxhash64 path (production): shiftright by 6 bounds |h| < 2^58."""
-    if backend == "xxhash64":
-        return f"shiftright(xxhash64({token_expr}, {seed}), 6)"
-    if dialect == "spark":
-        return (
-            f"cast(conv(substr(md5(concat('{seed}:', {token_expr})),"
-            f" 1, 14), 16, 10) as bigint)"
-        )
-    return (
-        f"CAST(concat('0x', substr(md5(concat('{seed}:', {token_expr})),"
-        f" 1, 14)) AS BIGINT)"
-    )
+# NOTE deliberately ABSENT: Kirsch-Mitzenmacher double hashing
+# (mh_j = min(h1 + j*h2)).  It was tried and reverted: without a modulus
+# the j-th ordering is dominated by h2 for j >= 2, so the "independent"
+# LSH bands mostly re-hash the same argmin-h2 shingle — simulated near-dup
+# recall at jaccard 0.8 drops 0.983 -> 0.869 while low-similarity
+# candidates inflate 0.29 -> 0.37.  KM 2006 covers Bloom-filter probe
+# collisions, not min-order statistics; minhash needs genuinely
+# independent orderings, so each signature slot pays its own token hash.
 
 
 def tokens_exploded(df: DataFrame, id_col: str = "doc_id",
@@ -145,20 +132,13 @@ def minhash_signatures(
 
     One explode + one groupBy: all n min-aggregations share the single
     shuffle on id (map-side combine keeps it small).  The n hash
-    functions come from TWO base hashes via Kirsch-Mitzenmacher double
-    hashing (h_j = h1 + j*h2) computed once per token as columns — the
-    hashing work in the heavy explode stage is constant in n_hashes."""
+    functions are INDEPENDENT per-seed hashes — see the module note above
+    for why the cheaper double-hashing scheme was reverted."""
     toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
         [id_col, "token"]
     )
-    toks = toks.withColumns(
-        {
-            "_h1": F.expr(km_base_sql("token", 1, backend)),
-            "_h2": F.expr(km_base_sql("token", 2, backend)),
-        }
-    )
     aggs = [
-        F.min(F.expr(f"_h1 + {j} * _h2")).alias(f"mh_{j}")
+        F.min(F.expr(token_hash_sql("token", j, backend))).alias(f"mh_{j}")
         for j in range(n_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)

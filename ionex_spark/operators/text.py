@@ -112,20 +112,17 @@ def rolling_hash_sql(s: str, dialect: str = "spark") -> str:
 # ------------------------------------------------ sampling & packing ops
 
 def sample_hash_sql(id_expr: str, dialect: str = "spark") -> str:
-    """Deterministic sampling hash in [0, 10000): md5 of the id, first 15
-    hex chars as int64, mod 1e4 — identical value in Spark and DuckDB, so
-    a sampled dataset is REPRODUCIBLE across engines and reruns (the
-    seeded-rand alternative is neither)."""
+    """Deterministic sampling hash in [0, 10000): the engine's ONE
+    portable md5-to-int64 kernel (dedup.token_hash_sql and its DuckDB
+    twin) applied to the stringified id, mod 1e4 — identical value in
+    Spark and DuckDB, so a sampled dataset is REPRODUCIBLE across engines
+    and reruns (the seeded-rand alternative is neither)."""
+    from ionex_spark.operators import dedup as dd
+
     if dialect == "spark":
-        h = (
-            f"cast(conv(substr(md5(cast({id_expr} as string)), 1, 15),"
-            f" 16, 10) as bigint)"
-        )
+        h = dd.token_hash_sql(f"cast({id_expr} as string)", 7)
     else:
-        h = (
-            f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)),"
-            f" 1, 15)) AS BIGINT)"
-        )
+        h = dd.token_hash_duckdb_sql(f"CAST({id_expr} AS VARCHAR)", 7)
     return f"({h} % 10000)"
 
 
@@ -139,14 +136,29 @@ def stratified_sample(
     hash falls under the stratum's threshold.  Narrow (no shuffle, no
     state), reproducible, and exact-in-expectation per stratum — the
     standard shape for language/quality rebalancing of a 100 TB corpus."""
+    return df.filter(
+        F.expr(
+            f"{sample_hash_sql(id_col)}"
+            f" < {strata_threshold_case_sql(strata_col, fractions)}"
+        )
+    )
+
+
+def strata_threshold_case_sql(
+    strata_col: str, fractions: dict[str, float]
+) -> str:
+    """CASE expression mapping stratum -> hash threshold in [0, 10000];
+    shared by the Spark plan and the DuckDB oracle so the two sides can
+    never drift.  Keys are single-quote-escaped."""
     cases = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {int(round(f * 10000))}"
+        "WHEN {c} = '{k}' THEN {t}".format(
+            c=strata_col,
+            k=str(k).replace("'", "''"),
+            t=int(round(f * 10000)),
+        )
         for k, f in fractions.items()
     )
-    thresh = f"(CASE {cases} ELSE 0 END)"
-    return df.filter(
-        F.expr(f"{sample_hash_sql(id_col)} < {thresh}")
-    )
+    return f"(CASE {cases} ELSE 0 END)"
 
 
 def pack_sequences(
@@ -161,11 +173,13 @@ def pack_sequences(
     ordered within each shard, and assigned to fixed-budget sequences by
     running token count (seq boundary every ``budget_tokens``).
 
-    Output: (doc_id, shard, seq_id, seq_offset_tokens, n_tokens).  The
-    window is PARTITIONED by shard so the running sum shuffles once and
-    parallelizes across shards — the Megatron-style sequential-fill
-    packing, not NP-hard bin packing (docs longer than the budget still
-    get their own sequences)."""
+    Output: (doc_id, shard, seq_id, seq_offset_tokens, n_tokens) where
+    seq_id/seq_offset locate the doc's STARTING position in the shard's
+    concatenated token stream — concat-and-chop semantics: a doc whose
+    offset + n_tokens exceeds the budget straddles into the following
+    sequence(s), exactly like sequential-fill packing in LLM data
+    pipelines (no padding, no NP-hard bin packing; consumers derive the
+    spill from seq_offset_tokens + n_tokens > budget)."""
     from pyspark.sql.window import Window
 
     # xxhash64 is the fast production shard hash; the oracled query passes

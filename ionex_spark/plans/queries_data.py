@@ -49,14 +49,10 @@ _DUCK_UNIGRAMS = """
   ) WHERE length(token) > 0
 """
 
-_DUCK_MINHASH = (
-    "SELECT doc_id, "
-    + ", ".join(f"min(h1 + {j} * h2) AS mh_{j}" for j in range(N_MINHASH))
-    + " FROM (SELECT doc_id, "
-    + f"{dd.km_base_sql('token', 1, dialect='duckdb')} AS h1, "
-    + f"{dd.km_base_sql('token', 2, dialect='duckdb')} AS h2"
-    + f" FROM ({_DUCK_TOKENS})) GROUP BY doc_id"
-)
+_DUCK_MINHASH = "SELECT doc_id, " + ", ".join(
+    f"min({dd.token_hash_duckdb_sql('token', j)}) AS mh_{j}"
+    for j in range(N_MINHASH)
+) + f" FROM ({_DUCK_TOKENS}) GROUP BY doc_id"
 
 _DUCK_BANDS = "SELECT doc_id, band, key FROM (" + " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, concat_ws('_', mh_{b * BAND}, mh_{b * BAND + 1}) AS key"
@@ -517,9 +513,7 @@ _SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}
     oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE ({tx.sample_hash_sql('doc_id', 'duckdb')}) <
-      (CASE WHEN lang = 'en' THEN 5000
-            WHEN lang = 'de' THEN 2500
-            WHEN lang = 'fr' THEN 1000 ELSE 0 END)
+      {tx.strata_threshold_case_sql('lang', _SAMPLE_FRACS)}
 """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
