@@ -121,6 +121,40 @@ def test_minhash_lsh_finds_near_dups(spark, backend):
         assert v[(0, 2)] == pytest.approx(4 / 10)
 
 
+@pytest.mark.parametrize("backend", ["md5", "xxhash64"])
+def test_minhash_lsh_recall_statistical(spark, backend):
+    """Statistical recall guardrail: the bit-exact oracle gate CANNOT
+    catch a hash-scheme change that degrades LSH quality on both engines
+    symmetrically (the reverted double-hashing scheme stayed gate-green
+    while losing ~12% recall).  This pins end-to-end recall on 40
+    synthetic near-dup pairs: 2 mutated words of 40 corrupt <= 6 of ~38
+    trigram shingles -> jaccard ~0.72, where 4 bands of 2 predict ~0.95
+    capture, so >= 0.80 measured is a loose floor."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for p in range(40):
+        base = rng.sample(vocab, 40)
+        # ~0.8 jaccard: mutate 4 of 40 words (shingle jaccard lands near
+        # the word-level overlap for random text)
+        mut = list(base)
+        for i in rng.sample(range(40), 2):
+            mut[i] = rng.choice(vocab)
+        rows.append((2 * p, " ".join(base)))
+        rows.append((2 * p + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dd.minhash_signatures(docs, 8, backend=backend)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(sigs, 8, 2).collect()
+    }
+    truth = {(2 * p, 2 * p + 1) for p in range(40)}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.80, f"LSH recall degraded: {recall}"
+
+
 def test_simhash_similarity(spark):
     # long docs: simhash needs enough tokens for the sign-sums to be
     # statistically meaningful (tiny docs give noisy distances)
