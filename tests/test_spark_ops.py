@@ -225,6 +225,26 @@ def test_lsh_ann_recall(spark):
     assert hit >= 4  # 3 planes ~ >=50% top-1 recall on random data
 
 
+def test_ivf_recall_guardrail(spark):
+    """IVF with nprobe=2 must keep near-perfect top-5 recall vs brute
+    force on the clustered synthetic embeddings (measured 1.0; a routing
+    bug in the argmax assignment or probe selection would crater it)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter("vec_id % 100 = 0")
+    cent = emb.filter("vec_id % 50 = 0")
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    lists = sim.ivf_assign(emb, cent)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivf_topk(lists, q, cent, k=5, nprobe=2).collect()
+    }
+    assert len(truth & got) / len(truth) >= 0.9
+
+
 def test_knn_points_exact_both_paths(spark):
     """General point-corpus kNN must be EXACT regardless of how queries
     split between the cell-ring path and the brute-force fallback; a
