@@ -563,6 +563,61 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------- multimodal gate coverage
+#
+# The audio/video plumbing runs REAL payload decodes inside the gate:
+# the Spark side generates deterministic binary payloads, decodes them,
+# and derives features; the oracle reproduces the expected values purely
+# arithmetically from the generator's id formulas — so a corrupted
+# encode, a broken decode, or a frame-sampling off-by-one all surface as
+# driver hash mismatches, not just pytest failures.
+
+@register(
+    "audio_decode_durations",
+    oracle="""
+SELECT printf('aud-%012d', g.range) AS audio_id,
+       CAST((800 + (g.range % 5) * 400) AS DOUBLE)
+         / CAST(8000 AS DOUBLE) AS duration_s
+FROM range(500) g
+""",
+)
+def audio_decode_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio payload check: generate PCM16 payloads, DECODE
+    them in the features UDF, and return per-clip durations — which the
+    oracle predicts from the generator arithmetic (n_samples / rate)."""
+    from ionex_spark.operators import av
+    from ionex_spark.sources.media import audio_df
+
+    aud = audio_df(spark, 500)
+    return av.audio_features(aud).select("audio_id", "duration_s")
+
+
+@register(
+    "video_frame_sample_counts",
+    oracle="""
+SELECT printf('vid-%012d', g.range) AS video_id,
+       CAST(((8 + (g.range % 3) * 4) + 3) // 4 AS BIGINT) AS n_sampled,
+       CAST((((8 + (g.range % 3) * 4) + 3) // 4 - 1) * 4 AS BIGINT)
+         AS max_frame_idx
+FROM range(400) g
+""",
+)
+def video_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video payload check: generate RAWV payloads, DECODE and
+    frame-sample them (every 4th frame), and return per-clip sampled-frame
+    counts + last sampled index — predicted arithmetically by the oracle
+    (ceil(n_frames / 4) from the generator formula)."""
+    from ionex_spark.operators import av
+    from ionex_spark.sources.media import videos_df
+
+    vids = videos_df(spark, 400)
+    frames = av.sample_frames(vids, every=4)
+    return frames.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+    )
+
+
 _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
