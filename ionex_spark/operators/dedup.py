@@ -260,6 +260,12 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
     labels = labels.localCheckpoint(eager=True)
+    # convergence check without a per-round join: labels only ever
+    # DECREASE, so sum(label) is strictly decreasing until the fixpoint —
+    # one cheap aggregate on the already-checkpointed frame per round
+    _sum = F.sum(F.col("label").cast("decimal(38,0)"))  # no overflow at 10^12 ids
+    prev_sum = labels.agg(_sum).first()[0]
+    changed = 1
     for _ in range(max_iter):
         incoming = (
             sym.join(labels, sym.src == labels.node)
@@ -271,13 +277,9 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label < o.label")
-            .count()
-        )
-        labels = new_labels
+        new_sum = new_labels.agg(_sum).first()[0]
+        changed = int(new_sum != prev_sum)
+        labels, prev_sum = new_labels, new_sum
         if changed == 0:
             break
     else:
@@ -285,9 +287,8 @@ def connected_components(
         # groups and keep duplicate docs — refuse instead
         raise RuntimeError(
             f"connected_components did not converge within {max_iter}"
-            f" rounds ({changed} labels still changing); the graph"
-            f" diameter exceeds max_iter — raise it or use a"
-            f" star-contraction variant"
+            f" rounds (labels still changing); the graph diameter exceeds"
+            f" max_iter — raise it or use a star-contraction variant"
         )
     return labels.selectExpr(f"node as {id_col}", "label as group_id")
 
