@@ -23,7 +23,7 @@ FRAMES_SCHEMA = (
 )
 
 
-def audio_features(audio: DataFrame, every: int = 1) -> DataFrame:
+def audio_features(audio: DataFrame) -> DataFrame:
     """Decode PCM payloads -> (duration, RMS energy, zero-crossing rate).
 
     The classic cheap audio-quality/speech-detection features; a real

@@ -260,11 +260,28 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
     labels = labels.localCheckpoint(eager=True)
-    # convergence check without a per-round join: labels only ever
-    # DECREASE, so sum(label) is strictly decreasing until the fixpoint —
-    # one cheap aggregate on the already-checkpointed frame per round
-    _sum = F.sum(F.col("label").cast("decimal(38,0)"))  # no overflow at 10^12 ids
-    prev_sum = labels.agg(_sum).first()[0]
+    # Convergence check: for NUMERIC ids, labels only ever DECREASE, so
+    # sum(label) is strictly decreasing until the fixpoint — one cheap
+    # aggregate per round on the already-checkpointed frame.  Non-numeric
+    # ids (or a NULL sum, e.g. decimal overflow) fall back to the exact
+    # join-based changed-count: a NULL-poisoned sum comparing equal would
+    # otherwise report convergence after one hop — silent wrong groups.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    _sum = F.sum(F.col("label").cast("decimal(38,0)"))
+
+    def _changed(old: DataFrame, new: DataFrame, s_old, s_new) -> int:
+        if numeric_ids and s_old is not None and s_new is not None:
+            return int(s_new != s_old)
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter("n.label < o.label")
+            .count()
+        )
+
+    prev_sum = labels.agg(_sum).first()[0] if numeric_ids else None
     changed = 1
     for _ in range(max_iter):
         incoming = (
@@ -277,8 +294,8 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(_sum).first()[0]
-        changed = int(new_sum != prev_sum)
+        new_sum = new_labels.agg(_sum).first()[0] if numeric_ids else None
+        changed = _changed(labels, new_labels, prev_sum, new_sum)
         labels, prev_sum = new_labels, new_sum
         if changed == 0:
             break

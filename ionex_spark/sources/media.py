@@ -66,14 +66,17 @@ def _video_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     from ionex_spark.core import av_codec
 
+    w, h = 32, 24
+    base = None
     for pdf in it:
+        if base is None:
+            y, x = np.mgrid[0:h, 0:w]
+            base = x + y
         rows = []
         for i in (int(x) for x in pdf["id"]):
-            w, h = 32, 24
             n_frames = 8 + (i % 3) * 4
-            y, x = np.mgrid[0:h, 0:w]
             frames = np.stack(
-                [(x + y + 3 * k + i) % 256 for k in range(n_frames)]
+                [(base + 3 * k + i) % 256 for k in range(n_frames)]
             ).astype(np.uint8)
             lat, lon, slot = _geo(i)
             rows.append(

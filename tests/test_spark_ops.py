@@ -291,6 +291,24 @@ def test_connected_components_chain_and_convergence_guard(spark):
         dd.connected_components(nodes, chain, max_iter=3)
 
 
+def test_connected_components_string_ids(spark):
+    """Non-numeric ids use the join-based convergence check (the sum
+    shortcut would NULL-poison on a string cast and stop after one hop)."""
+    nodes = spark.createDataFrame(
+        [(f"doc-{i:02d}",) for i in range(6)], "doc_id string"
+    )
+    chain = spark.createDataFrame(
+        [(f"doc-{i:02d}", f"doc-{i + 1:02d}") for i in range(4)],
+        "id_a string, id_b string",
+    )
+    got = dict(
+        (r.doc_id, r.group_id)
+        for r in dd.connected_components(nodes, chain, max_iter=10).collect()
+    )
+    assert all(got[f"doc-{i:02d}"] == "doc-00" for i in range(5))
+    assert got["doc-05"] == "doc-05"
+
+
 def test_lsh_multiprobe_beats_single_bucket(spark):
     """Hamming-1 multi-probe must recover recall that exact-bucket LSH
     loses (measured 0.44 vs 0.04 top-5 recall on the sf0.001 embeddings
