@@ -503,6 +503,82 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_normalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, concat('<p id="', CAST(doc_id AS VARCHAR), '">',
+                        text, '</p>') AS html
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(html),
+              '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS norm
+  FROM raw
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       substr(norm, 1, 64) AS norm_head
+FROM n
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pipeline step: strip markup tags, collapse
+    whitespace runs, lowercase, trim — pure JVM regexp expressions (the
+    ingest-side cleaner of a web-scale corpus; tags synthesized around
+    the documents so the strip does real work)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.selectExpr(
+        "doc_id",
+        "concat('<p id=\"', cast(doc_id as string), '\">', text, '</p>')"
+        " as html",
+    )
+    return raw.selectExpr(
+        "doc_id",
+        "trim(regexp_replace(regexp_replace(lower(html),"
+        " '<[^>]*>', ' '), ' +', ' ')) as norm",
+    ).selectExpr(
+        "doc_id",
+        "cast(length(norm) as bigint) as norm_len",
+        "substr(norm, 1, 64) as norm_head",
+    )
+
+
+@register(
+    "token_doc_frequency",
+    oracle=f"""
+WITH toks AS ({_DUCK_UNIGRAMS}),
+df_counts AS (
+  SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+)
+SELECT token, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT token, doc_freq,
+         row_number() OVER (ORDER BY doc_freq DESC, token) AS rank
+  FROM df_counts
+) WHERE rank <= 20
+""",
+)
+def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: document frequency of each unigram,
+    top-20 with deterministic tie-break — the df side of tf-idf and the
+    stopword-list builder of a corpus pipeline.  One explode + one
+    groupBy shuffle; the final top-k is a tiny sorted limit."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = dd.tokens_exploded(docs).dropDuplicates(["doc_id", "token"])
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    w = Window.orderBy(F.desc("doc_freq"), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 20")
+        .selectExpr("token", "doc_freq", "cast(rank as bigint) as rank")
+    )
+
+
 # ------------------------------------------- sampling & sequence packing
 
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}
