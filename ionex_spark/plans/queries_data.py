@@ -508,7 +508,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH raw AS (
   SELECT doc_id, concat('<p id="', CAST(doc_id AS VARCHAR), '">',
-                        text, '</p>') AS html
+                        coalesce(text, ''), '</p>') AS html
   FROM documents
 ),
 n AS (
@@ -529,10 +529,12 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest-side cleaner of a web-scale corpus; tags synthesized around
     the documents so the strip does real work)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # coalesce: Spark concat is NULL-strict while DuckDB concat skips
+    # NULLs — a NULL text would silently diverge the two engines
     raw = docs.selectExpr(
         "doc_id",
-        "concat('<p id=\"', cast(doc_id as string), '\">', text, '</p>')"
-        " as html",
+        "concat('<p id=\"', cast(doc_id as string), '\">',"
+        " coalesce(text, ''), '</p>') as html",
     )
     return raw.selectExpr(
         "doc_id",
@@ -571,10 +573,13 @@ def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no single-partition shuffle of the full vocabulary); the
+    # unpartitioned rank window then runs over only the 20 survivors
+    top = counts.orderBy(F.desc("doc_freq"), "token").limit(20)
     w = Window.orderBy(F.desc("doc_freq"), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter("rank <= 20")
+        top.withColumn("rank", F.row_number().over(w))
         .selectExpr("token", "doc_freq", "cast(rank as bigint) as rank")
     )
 
