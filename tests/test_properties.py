@@ -108,3 +108,66 @@ def test_bilinear_outside_cell_nan(lat, lon):
     # a point strictly outside the queried cell must yield NaN
     v = bilinear(lon + 10.0, lat, lon, lat - 1.0, 5.0, 2.5, 1, 2, 3, 4)
     assert np.isnan(v)
+
+
+# ------------------------------------------ IONEX ASCII round-trip fuzz
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_epochs=st.integers(1, 3),
+    nlat=st.integers(2, 7),
+    nlon=st.integers(2, 9),
+    exp=st.integers(-3, 1),
+    seed=st.integers(0, 2**31 - 1),
+    with_rms=st.booleans(),
+)
+def test_ionex_roundtrip_random_grids(n_epochs, nlat, nlon, exp, seed,
+                                      with_rms):
+    """write_ionex -> parse_ionex is the identity on ANY well-formed
+    grid: random shapes, spacings, exponents, sentinel patterns, and an
+    optional RMS pass (the reference's reciprocity gate generalized from
+    the fixed CKMG grid to fuzzed geometries)."""
+    from ionex_spark.core.ionex_io import IonexHeader, parse_ionex, write_ionex
+    from ionex_spark.core.linspace import Grid, Linspace
+
+    rng = np.random.default_rng(seed)
+    lat0 = float(rng.integers(-8, 4)) * 10.0
+    dlat = float(rng.integers(1, 4)) * 2.5
+    lon0 = float(rng.integers(-18, 0)) * 10.0
+    dlon = float(rng.integers(1, 4)) * 5.0
+    g = Grid(
+        lat=Linspace(lat0, lat0 + (nlat - 1) * dlat, dlat),
+        lon=Linspace(lon0, lon0 + (nlon - 1) * dlon, dlon),
+        alt=Linspace(450.0, 450.0, 0.0),
+    )
+    epochs = (
+        np.datetime64("2022-01-02T00:00:00")
+        + np.arange(n_epochs) * np.timedelta64(3600, "s")
+    ).astype("datetime64[s]")
+    dense = rng.integers(-999, 1000, size=(n_epochs, nlat, nlon)).astype(
+        np.int64
+    )
+    # random missing points
+    mask = rng.random(dense.shape) < 0.1
+    dense[mask] = 9999
+    rms = None
+    if with_rms:
+        rms = rng.integers(0, 100, size=dense.shape).astype(np.int64)
+    hdr = IonexHeader(
+        grid=g,
+        interval_s=3600,
+        epoch_first=epochs[0],
+        epoch_last=epochs[-1],
+        number_of_maps=n_epochs,
+        exponent=exp,
+    )
+    text = write_ionex(hdr, epochs, dense, rms)
+    h2, ep2, tec2, rms2 = parse_ionex(text)
+    assert h2.exponent == exp
+    assert h2.grid.lat == g.lat and h2.grid.lon == g.lon
+    np.testing.assert_array_equal(ep2, epochs)
+    np.testing.assert_array_equal(tec2, dense)
+    if with_rms:
+        np.testing.assert_array_equal(rms2, rms)
+    else:
+        assert rms2 is None
