@@ -159,8 +159,11 @@ def lsh_candidate_pairs(
     # LongHashedRelation/long-key shuffle instead of a concatenated string
     # key (the same packed-long win the spatial join gets; the band id is
     # hashed in so a single-column join covers all bands).  A 1/2^64 hash
-    # collision can only ADD a candidate pair, which the exact verify
-    # stage then rejects — the final output is unchanged.
+    # collision can only ADD a candidate pair; a collision pair whose true
+    # jaccard clears the verify threshold would survive, so the verified
+    # output is an astronomically-unlikely (~2^-64 per pair) superset of
+    # strict per-band LSH semantics — not bit-for-bit guaranteed equal,
+    # unlike the simhash case where pigeonhole makes the verify exact.
     keys = [
         "xxhash64(cast({b} as bigint){mhs})".format(
             b=b,
@@ -260,15 +263,22 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
     labels = labels.localCheckpoint(eager=True)
-    # Convergence check: for NUMERIC ids, labels only ever DECREASE, so
+    # Convergence check: for INTEGRAL ids, labels only ever DECREASE, so
     # sum(label) is strictly decreasing until the fixpoint — one cheap
-    # aggregate per round on the already-checkpointed frame.  Non-numeric
-    # ids (or a NULL sum, e.g. decimal overflow) fall back to the exact
+    # aggregate per round on the already-checkpointed frame.  The shortcut
+    # is gated on IntegralType (and scale-0 decimals), NOT NumericType:
+    # fractional float/double labels lose their fraction in the
+    # decimal(38,0) cast (1.4 -> 1.2 sums equal), which would declare
+    # convergence early and silently split components.  Non-integral ids
+    # (or a NULL sum, e.g. decimal overflow) fall back to the exact
     # join-based changed-count: a NULL-poisoned sum comparing equal would
     # otherwise report convergence after one hop — silent wrong groups.
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DecimalType, IntegralType
 
-    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    _dt = labels.schema["label"].dataType
+    numeric_ids = isinstance(_dt, IntegralType) or (
+        isinstance(_dt, DecimalType) and _dt.scale == 0
+    )
     _sum = F.sum(F.col("label").cast("decimal(38,0)"))
 
     def _changed(old: DataFrame, new: DataFrame, s_old, s_new) -> int:

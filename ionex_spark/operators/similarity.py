@@ -210,6 +210,11 @@ def ivf_assign(
             "sort_array(collect_list(struct(cent_id, cvec, cnorm)))"
         ).alias("cents")
     )
+    # EMPTY centroids guard: agg over zero rows still yields ONE row with
+    # an empty array, and array_max over it is NULL — every corpus row
+    # would silently get list_id = NULL (a NULL-bucket table downstream).
+    # Filtering the broadcast row restores the zero-rows-out contract.
+    cents = cents.filter(F.size("cents") > 0)
     j = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
     na = NORM_SQL.format(a=vec_col)
     j = j.withColumn("_vnorm", F.expr(na))

@@ -152,14 +152,21 @@ def export_ionex(
         .applyInPandas(fmt_epoch, "epoch timestamp, block string, rms_block string")
         .orderBy("epoch")
     )
+    # persist so the RMS pass re-reads the SAME materialized blocks: the
+    # second toLocalIterator would otherwise re-execute the whole job, and
+    # a non-deterministic tec_points source (or one mutated between the
+    # passes) could yield RMS maps that disagree with the TEC maps with no
+    # error.  Blocks are small formatted strings (O(epochs), not O(points))
+    # so caching them is cheap; unpersisted before return.
+    blocks_df = blocks_df.persist()
     from ionex_spark.core.ionex_io import _fmt_epoch_body, _fmt_line
 
     # single-writer assembly is inherent to the one-file IONEX format, but
     # the driver never holds more than one PARTITION of blocks at a time:
     # toLocalIterator streams the epoch-ordered result, so a many-epoch
     # export is bounded by partition size, not file size.  The RMS pass
-    # re-iterates (re-executes the block job) instead of buffering —
-    # trading one recompute for O(partition) driver memory.
+    # re-iterates the persisted blocks instead of buffering them driver-
+    # side — O(partition) driver memory either way.
     def fh_open():
         if out_path.endswith(".gz"):
             return gzip.open(out_path, "wt", compresslevel=5)
@@ -202,3 +209,4 @@ def export_ionex(
                     fh.write(line + "\n")
         for line in _fmt_line("", "END OF FILE"):
             fh.write(line + "\n")
+    blocks_df.unpersist()

@@ -309,6 +309,33 @@ def test_connected_components_string_ids(spark):
     assert got["doc-05"] == "doc-05"
 
 
+def test_connected_components_fractional_ids(spark):
+    """Fractional double ids must use the exact join-based convergence
+    check: the decimal(38,0)-cast sum shortcut loses the fraction, so a
+    round that changes 5.4 -> 5.3 while another changes 5.3 -> 5.2 can
+    leave the rounded sum unchanged — early convergence, split groups."""
+    nodes = spark.createDataFrame(
+        [(9.0,), (5.4,), (5.3,), (5.2,)], "doc_id double"
+    )
+    chain = spark.createDataFrame(
+        [(9.0, 5.4), (5.4, 5.3), (5.3, 5.2)], "id_a double, id_b double"
+    )
+    got = dict(
+        (r.doc_id, r.group_id)
+        for r in dd.connected_components(nodes, chain, max_iter=10).collect()
+    )
+    assert all(v == 5.2 for v in got.values()), got
+
+
+def test_ivf_assign_empty_centroids(spark):
+    """Zero centroids -> zero output rows (NOT a NULL-bucket table: the
+    broadcast fold over an empty array would argmax to NULL list_ids)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    empty_cent = emb.filter("vec_id < 0")
+    assert sim.ivf_assign(emb, empty_cent).count() == 0
+
+
 def test_lsh_multiprobe_beats_single_bucket(spark):
     """Hamming-1 multi-probe must recover recall that exact-bucket LSH
     loses (measured 0.44 vs 0.04 top-5 recall on the sf0.001 embeddings
