@@ -54,11 +54,16 @@ def token_hash_duckdb_sql(token_expr: str, seed: int) -> str:
 
 def tokens_exploded(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """(id, token) rows: lowercase, split on single spaces, drop empties."""
+    """(id, token) rows: lowercase, split on whitespace (space/tab/LF/CR
+    via text.ws_norm_sql), drop empties."""
+    from ionex_spark.operators.text import ws_norm_sql
+
     return (
         df.select(
             id_col,
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+            F.expr(
+                f"explode(split(lower({ws_norm_sql(text_col)}), ' '))"
+            ).alias("token"),
         )
         .filter(F.length("token") > 0)
     )
@@ -78,11 +83,13 @@ def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
         f" transform(sequence(0, size(toks) - {n}), i -> concat({joins}))"
         f" else array(concat_ws(' ', toks)) end"
     )
+    from ionex_spark.operators.text import ws_norm_sql
+
     return (
         df.selectExpr(
             id_col,
-            f"filter(split(lower({text_col}), ' '), x -> length(x) > 0)"
-            " as toks",
+            f"filter(split(lower({ws_norm_sql(text_col)}), ' '),"
+            " x -> length(x) > 0) as toks",
         )
         .selectExpr(id_col, f"explode({expr}) as token")
     )
@@ -91,6 +98,8 @@ def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
 def shingles_duckdb_sql(n: int = 3) -> str:
     """DuckDB twin of shingles_exploded over `documents` (1-based lists)."""
     joins = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
+    from ionex_spark.operators.text import ws_norm_sql
+
     return f"""
   SELECT DISTINCT doc_id, token FROM (
     SELECT doc_id, unnest(
@@ -99,7 +108,7 @@ def shingles_duckdb_sql(n: int = 3) -> str:
            ELSE [array_to_string(toks, ' ')] END) AS token
     FROM (
       SELECT doc_id,
-             list_filter(string_split(lower(text), ' '),
+             list_filter(string_split(lower({ws_norm_sql('text')}), ' '),
                          x -> length(x) > 0) AS toks
       FROM documents
     )

@@ -18,19 +18,30 @@ def occ_sql(s: str, needle: str) -> str:
     return f"((length({s}) - length(replace({s}, '{n}', ''))) / {len(n)})"
 
 
+def ws_norm_sql(s: str) -> str:
+    """Translate tab/LF/CR to plain spaces so every whitespace class
+    separates tokens (multi-line documents tokenize correctly, not as one
+    giant token per line-join).  chr() + translate() spell identically in
+    Spark and DuckDB, so the SAME fragment serves engine and oracle —
+    the two sides cannot drift."""
+    return f"translate({s}, concat(chr(9), chr(10), chr(13)), '   ')"
+
+
 def token_count_sql(s: str) -> str:
-    """Whitespace token count: split on spaces, ignore empty tokens —
-    consistent with dedup.tokens_exploded (runs of spaces don't inflate
-    the count; empty/all-space text counts 0)."""
+    """Whitespace token count: split on whitespace (space/tab/LF/CR via
+    ws_norm_sql), ignore empty tokens — consistent with
+    dedup.tokens_exploded (runs of whitespace don't inflate the count;
+    empty/all-space text counts 0)."""
     return (
-        f"size(filter(split({s}, ' '), x -> length(x) > 0))"
+        f"size(filter(split({ws_norm_sql(s)}, ' '), x -> length(x) > 0))"
     )
 
 
 def token_count_duckdb_sql(s: str) -> str:
     """DuckDB spelling of token_count_sql (same VALUE)."""
     return (
-        f"len(list_filter(string_split({s}, ' '), x -> length(x) > 0))"
+        f"len(list_filter(string_split({ws_norm_sql(s)}, ' '),"
+        f" x -> length(x) > 0))"
     )
 
 

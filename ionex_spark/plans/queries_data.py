@@ -42,9 +42,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_TOKENS = dd.shingles_duckdb_sql(3)
 
-_DUCK_UNIGRAMS = """
+_DUCK_UNIGRAMS = f"""
   SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    SELECT doc_id,
+           unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+             AS token
     FROM documents
   ) WHERE length(token) > 0
 """

@@ -309,6 +309,57 @@ def test_connected_components_string_ids(spark):
     assert got["doc-05"] == "doc-05"
 
 
+def test_whitespace_class_tokenization_parity(spark):
+    """Tabs/newlines/CRs separate tokens exactly like spaces, and the
+    Spark and DuckDB spellings agree on counts AND token sets for
+    multi-line documents (previously both sides split on ' ' only,
+    undercounting multi-line docs)."""
+    import duckdb
+
+    from ionex_spark.operators import text as tx
+
+    docs = [
+        (1, "alpha\tbeta\ngamma delta"),
+        (2, "one\r\ntwo  three\t\tfour\n"),
+        (3, "single"),
+        (4, "  \t \n "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.n
+        for r in df.selectExpr(
+            "doc_id", f"{tx.token_count_sql('text')} as n"
+        ).collect()
+    }
+    assert got == {1: 4, 2: 4, 3: 1, 4: 0}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in docs)
+        + ") t(doc_id, text)",
+        [t for _, t in docs],
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {tx.token_count_duckdb_sql('text')} FROM d"
+        ).fetchall()
+    )
+    assert duck == got
+    # token SETS agree between tokens_exploded and the DuckDB unigrams
+    spark_toks = {
+        (r.doc_id, r.token)
+        for r in dd.tokens_exploded(df).collect()
+    }
+    duck_toks = set(
+        con.execute(
+            "SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split("
+            f"lower({tx.ws_norm_sql('text')}), ' ')) AS token FROM d)"
+            " WHERE length(token) > 0"
+        ).fetchall()
+    )
+    assert duck_toks == spark_toks
+
+
 def test_connected_components_fractional_ids(spark):
     """Fractional double ids must use the exact join-based convergence
     check: the decimal(38,0)-cast sum shortcut loses the fraction, so a
