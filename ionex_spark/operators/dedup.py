@@ -389,7 +389,13 @@ def simhash_candidate_pairs(
     One explode + ONE long-key self-join (key = xxhash64(band_id, band
     value)) instead of four separate joins unioned — a quarter of the
     shuffles for the same candidate set (hash collisions can only add
-    candidates, which the hamming verify rejects)."""
+    candidates, which the hamming verify rejects).
+
+    SCALE NOTE: 16-bit band values bucket ~n/65536 docs each, so
+    in-bucket pair counts grow as (n/65536)^2 — fine to ~10^8 docs,
+    quadratic at 10^10+.  Use simhash_candidate_pairs_refined (Manku
+    block combinations, ~32-bit keys) past that point; identical verified
+    output."""
     bands = sig.select(
         id_col,
         F.explode(
@@ -411,29 +417,100 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_candidate_pairs_refined(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_blocks: int = 6,
+    exact_blocks: int = 3,
+) -> DataFrame:
+    """Scale-hardened candidate generation (Manku/Jain/Sarma, WWW 2007
+    §3): split the 64-bit fingerprint into ``n_blocks`` blocks and emit
+    one key per ``exact_blocks``-sized block combination — C(B, m) keys of
+    ~64*m/B bits each.
+
+    Completeness: k differing bits damage at most k blocks, so a pair
+    within hamming distance B - m has >= m intact blocks and therefore
+    shares at least one combination key (both docs agree on every block
+    of some m-subset of the intact blocks).  Default (6, 3) covers
+    hamming <= 3 exactly like the 4x16 band scheme, but with ~32-bit keys
+    instead of 16-bit: expected bucket size drops from n/2^16 to n/2^32,
+    so in-bucket self-join pair counts stay near-linear at 10^10+ docs
+    where the band scheme's (n/65536)^2 goes quadratic — at the cost of
+    C(6,3)=20 exploded rows per doc instead of 4.  Key hash collisions
+    can only ADD candidates, which the exact hamming verify rejects."""
+    import itertools
+
+    if not 0 < exact_blocks <= n_blocks <= 64:
+        raise ValueError(f"bad scheme ({n_blocks}, {exact_blocks})")
+    # reassemble the fingerprint from the 4x16-bit bands (disjoint bits,
+    # so bitwise OR; the top band may set bit 63 -> fp can be negative,
+    # which shiftright+mask below handles)
+    fp = (
+        "(band_0 | shiftleft(band_1, 16)"
+        " | shiftleft(band_2, 32) | shiftleft(band_3, 48))"
+    )
+    base, rem = divmod(64, n_blocks)
+    lens = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    starts = [sum(lens[:i]) for i in range(n_blocks)]
+    # mask AFTER the arithmetic shift clears the sign-extension bits
+    blocks = [
+        f"(shiftright({fp}, {starts[i]}) & {(1 << lens[i]) - 1})"
+        for i in range(n_blocks)
+    ]
+    keys = [
+        "xxhash64(cast({ci} as bigint), {blks})".format(
+            ci=ci, blks=", ".join(blocks[i] for i in combo)
+        )
+        for ci, combo in enumerate(
+            itertools.combinations(range(n_blocks), exact_blocks)
+        )
+    ]
+    bands = sig.select(
+        id_col,
+        F.explode(F.array(*[F.expr(k) for k in keys])).alias("k"),
+    )
+    a = bands.withColumnRenamed(id_col, "id_a")
+    c = bands.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(c, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     backend: str = "md5",
+    scheme: str = "bands",
 ) -> DataFrame:
-    """End-to-end simhash near-dup pipeline: 64-bit signatures -> banded
+    """End-to-end simhash near-dup pipeline: 64-bit signatures -> blocked
     candidates -> XOR-popcount hamming verify (<= max_hamming).
 
-    The 4x16-bit blocking guarantees the candidate stage misses nothing
-    within hamming distance 3 (pigeonhole: 4 bands, <= 3 differing bits
-    leave one band equal), so verify-then-filter is exact for
-    max_hamming <= 3 — and ONLY then; larger thresholds would silently
-    miss pairs whose differing bits spread across all bands.
+    ``scheme="bands"`` (4x16-bit): the pigeonhole guarantee covers
+    hamming <= 3 (4 bands, <= 3 differing bits leave one band equal) but
+    band buckets hold ~n/65536 docs — quadratic in-bucket pair counts at
+    10^10+ docs.  ``scheme="refined"`` (Manku C(6,3) block combinations,
+    simhash_candidate_pairs_refined): same hamming <= 3 completeness with
+    ~32-bit keys, near-linear candidate counts at extreme corpus sizes —
+    the 100 TB default.  Both schemes produce IDENTICAL verified output
+    (any complete candidate superset does; the hamming filter is exact).
+    Larger max_hamming thresholds would silently miss pairs whose
+    differing bits spread across all blocks, hence the raise.
     Output: (id_a, id_b, hamming)."""
     if max_hamming > 3:
         raise ValueError(
-            "4x16-bit band blocking is only complete for max_hamming <= 3;"
-            f" got {max_hamming}"
+            "blocked candidate generation is only complete for"
+            f" max_hamming <= 3; got {max_hamming}"
         )
     sig = simhash64(df, id_col, text_col, backend)
-    cand = simhash_candidate_pairs(sig, id_col)
+    if scheme == "refined":
+        cand = simhash_candidate_pairs_refined(sig, id_col)
+    else:
+        cand = simhash_candidate_pairs(sig, id_col)
     sa = sig.selectExpr(
         f"{id_col} as id_a",
         *[f"band_{b} as a_band_{b}" for b in range(4)],

@@ -183,9 +183,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash64(docs, backend="md5")
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=f"""
+_DUCK_SIMHASH_PAIRS = f"""
 WITH sig AS ({_DUCK_SIMHASH_SIG}),
 bands AS (
   SELECT doc_id, 0 AS bi, band_0 AS bv FROM sig
@@ -210,14 +208,32 @@ WHERE bit_count(xor(sa.band_0, sb.band_0))
     + bit_count(xor(sa.band_1, sb.band_1))
     + bit_count(xor(sa.band_2, sb.band_2))
     + bit_count(xor(sa.band_3, sb.band_3)) <= 3
-""",
-)
+"""
+
+
+@register("dedup_simhash_pairs", oracle=_DUCK_SIMHASH_PAIRS)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end simhash near-dup pipeline: 64-bit signature (4x16-bit
     bands) -> banded candidate pairs (hamming<=3 blocking guarantee) ->
     XOR-popcount hamming verify."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.simhash_near_dup_pairs(docs, max_hamming=3, backend="md5")
+
+
+# the refined (Manku block-combination) candidate scheme must produce the
+# IDENTICAL verified pair set — any complete candidate superset does, the
+# hamming filter is exact — so it shares dedup_simhash_pairs' oracle; a
+# drift between the two schemes shows up as a gate hash-mismatch here.
+@register("dedup_simhash_pairs_refined", oracle=_DUCK_SIMHASH_PAIRS)
+def dedup_simhash_pairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash_pairs through the SCALE-HARDENED candidate stage:
+    C(6,3) Manku block-combination keys (~32-bit) instead of 4x16-bit
+    bands, keeping candidate counts near-linear at 10^10+ docs
+    (dedup.simhash_candidate_pairs_refined).  Same hamming<=3 output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.simhash_near_dup_pairs(
+        docs, max_hamming=3, backend="md5", scheme="refined"
+    )
 
 
 

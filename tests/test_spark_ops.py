@@ -434,6 +434,62 @@ def test_simhash_near_dup_pairs_end_to_end(spark):
     assert not any(3 in p for p in out)
 
 
+def test_simhash_refined_candidates_complete_and_near_linear(spark):
+    """The Manku C(6,3) block-combination candidate scheme must (a) find
+    EVERY pair within hamming distance 3 (the completeness guarantee:
+    <=3 damaged blocks leave >=3 intact, so some 3-combination matches)
+    and (b) keep candidate counts near-linear on uniformly random
+    fingerprints — the 16-bit band scheme's (n/65536)^2 in-bucket growth
+    is the VERDICT r2 scale flag this closes."""
+    import random
+
+    rng = random.Random(7)
+    n = 4000
+    rows, planted = [], set()
+    for i in range(0, n, 2):
+        fp = rng.getrandbits(64)
+        twin = fp
+        for b in rng.sample(range(64), rng.randint(1, 3)):
+            twin ^= 1 << b  # flips may straddle block boundaries
+        rows.append((i, fp))
+        rows.append((i + 1, twin))
+        planted.add((i, i + 1))
+    sig = spark.createDataFrame(
+        [
+            (i, *[(fp >> (16 * b)) & 0xFFFF for b in range(4)])
+            for i, fp in rows
+        ],
+        "doc_id bigint, band_0 bigint, band_1 bigint,"
+        " band_2 bigint, band_3 bigint",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.simhash_candidate_pairs_refined(sig).collect()
+    }
+    assert planted <= got
+    # random fps collide on a ~32-bit combo key with prob ~2^-32 per pair
+    # per combo: expected extras ~ 20 * C(4000,2) / 2^32 < 0.1.  The band
+    # scheme would produce ~4 * C(4000,2) / 65536 ~ 488 here.
+    assert len(got - planted) <= n // 100 + 5
+
+
+def test_simhash_refined_matches_band_scheme(spark):
+    """Both candidate schemes must yield the IDENTICAL verified pair set
+    on real documents (complete candidates + exact hamming filter)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bands = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_near_dup_pairs(docs, backend="xxhash64").collect()
+    }
+    refined = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.simhash_near_dup_pairs(
+            docs, backend="xxhash64", scheme="refined"
+        ).collect()
+    }
+    assert bands == refined and len(bands) > 0
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_images_source_and_verify(spark):
