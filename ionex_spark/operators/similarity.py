@@ -62,6 +62,26 @@ def brute_force_topk(
     )
 
 
+def planes_for(n: int, target_bucket: int = 1024) -> int:
+    """Hyperplane count so the expected LSH bucket holds ~``target_bucket``
+    vectors: planes = ceil(log2(n / target_bucket)), floor 1.
+
+    THE SCALE RULE the fixture constants elide: candidate work is
+    per-bucket-quadratic (~n * bucket_size / 2 self-join pairs for
+    near-dup mining, ~bucket_size per probe for ANN), so planes MUST grow
+    with corpus size — a fixed n_planes=4 lifted to 10^10 rows means
+    n^2/16 verify pairs.  With planes_for, candidates stay ~n *
+    target_bucket / 2: linear in n for a fixed target.  Recall falls as
+    planes grow (P[all signs agree] ~ (1 - theta/pi)^planes); counter
+    with multiprobe=True or a larger target_bucket, and verify stages are
+    exact so extra candidates only cost time, never correctness."""
+    import math
+
+    if n <= 0:
+        raise ValueError(f"corpus size must be positive, got {n}")
+    return max(1, math.ceil(math.log2(max(2.0, n / target_bucket))))
+
+
 def hyperplane_sql(vec_col: str, plane: int, dim: int) -> str:
     """Deterministic pseudo-random hyperplane dot product: coefficient for
     (plane p, dim d) = ((p*31 + d*17) % 19) - 9 (integer, zero-mean).
@@ -91,13 +111,18 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = False,
 ) -> DataFrame:
     """ANN: cosine top-k within the query's LSH bucket.
+
+    ``n_planes=None`` derives the plane count from the corpus size via
+    ``planes_for`` (one count() job) so candidate cost stays ~constant
+    per query as the corpus grows; pass an explicit value to pin it
+    (fixtures, reproducing a stored bucket layout).
 
     With ``multiprobe=True`` the query side also probes every hamming-1
     neighbor bucket (n_planes+1 keys per query, a cheap explode on the
@@ -107,6 +132,8 @@ def lsh_bucket_topk(
     hamming-1 probing recovers most of it for (n_planes+1)x candidate
     cost.  Probe keys are distinct and each corpus vector lives in exactly
     one bucket, so no candidate dedup is needed."""
+    if n_planes is None:
+        n_planes = planes_for(corpus.count())
     c = lsh_bucket_key(corpus.select(id_col, vec_col), vec_col, n_planes, dim)
     q = lsh_bucket_key(
         queries.select(
@@ -147,7 +174,7 @@ def lsh_bucket_topk(
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -157,7 +184,12 @@ def embedding_near_dup_pairs(
     Candidates come from LSH bucket equality (near-identical vectors share
     all sign bits with overwhelming probability), so the self-join is
     per-bucket instead of O(n^2); the exact cosine verifies.  The 100 TB
-    shape: one shuffle on bucket, bucket sizes ~ n/2^planes."""
+    shape: one shuffle on bucket, bucket sizes ~ n/2^planes —
+    ``n_planes=None`` keeps that bucket size bounded via ``planes_for``
+    as the corpus grows (a fixed plane count re-quadratizes the
+    self-join at 10^10 rows)."""
+    if n_planes is None:
+        n_planes = planes_for(corpus.count())
     c = lsh_bucket_key(corpus.select(id_col, vec_col), vec_col, n_planes, dim)
     a = c.selectExpr(
         f"{id_col} as id_a", f"{vec_col} as va", "bucket"

@@ -434,6 +434,36 @@ def test_simhash_near_dup_pairs_end_to_end(spark):
     assert not any(3 in p for p in out)
 
 
+def test_planes_for_bounds_candidate_count(spark):
+    """planes_for must size the LSH bucket grid so near-dup candidate
+    pairs stay ~n * target_bucket / 2 (linear in n), instead of the
+    n^2/2^planes blowup a fixed plane count gives at scale."""
+    assert sim.planes_for(1024, target_bucket=1024) == 1
+    assert sim.planes_for(2**20, target_bucket=1024) == 10
+    assert sim.planes_for(10**10, target_bucket=1024) == 24
+    with pytest.raises(ValueError):
+        sim.planes_for(0)
+
+    n, dim, target = 5000, 16, 32
+    planes = sim.planes_for(n, target_bucket=target)
+    emb = spark.range(n).selectExpr(
+        "id as vec_id",
+        f"transform(sequence(0, {dim - 1}), d -> cast(pmod(xxhash64("
+        "vec_id, d), 2001) - 1000 as float) / cast(1000.0 as float))"
+        " as embedding",
+    )
+    keyed = sim.lsh_bucket_key(emb, "embedding", planes, dim)
+    n_pairs = (
+        keyed.groupBy("bucket").count()
+        .selectExpr("sum(count * (count - 1) / 2) as p")
+        .first()["p"]
+    )
+    # expected ~ n * target / 2 = 80k (measured 157k); factor-4 slack
+    # absorbs the residual correlation of the small-integer hyperplane
+    # coefficients across 2^planes buckets
+    assert n_pairs <= 4 * n * target
+
+
 def test_simhash_refined_candidates_complete_and_near_linear(spark):
     """The Manku C(6,3) block-combination candidate scheme must (a) find
     EVERY pair within hamming distance 3 (the completeness guarantee:
