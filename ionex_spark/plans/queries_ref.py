@@ -486,6 +486,40 @@ def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ ionosphere pierce point
+
+@register(
+    "ipp_slant",
+    # JVM and libm transcendentals can differ in the last ulp, so the
+    # DuckDB oracle reads a pinned parquet sidecar generated from THIS
+    # query's own output (tools/gen_ipp_sidecar.py) while tests/test_ipp.py
+    # independently verifies the trigonometry against the numpy twin —
+    # the cell_geodesic_metrics pattern.
+    oracle="""
+SELECT obs_id, ipp_lat, ipp_lon, slant
+FROM '/root/repo/ionex_spark/data/ipp_golden.parquet'
+""",
+)
+def ipp_slant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin-shell ionosphere pierce point + COSZ slant factor over a
+    deterministic receiver/satellite geometry sweep (operators/ipp.py —
+    BEYOND reference parity: /root/reference/src/ipp.rs:18-27 stubs the
+    computation).  The sweep covers high-latitude poleward looks and
+    antimeridian crossings, the two branchy regimes of the pole-safe
+    atan2 destination formula."""
+    from ionex_spark.operators import ipp
+
+    geom = spark.range(2000).selectExpr(
+        "id as obs_id",
+        "cast(-84.0 + (id % 57) * 3.0 as double) as lat",
+        "cast(-180.0 + (id % 96) * 3.75 as double) as lon",
+        "cast(5.0 + (id % 18) * 4.7 as double) as elev",
+        "cast((id % 73) * 5.0 as double) as azim",
+    )
+    out = ipp.with_ipp(geom)
+    return out.select("obs_id", "ipp_lat", "ipp_lon", "slant")
+
+
 # ---------------------------------------------- Cell3x3 neighborhood ops
 
 _TP2 = f"""

@@ -108,3 +108,23 @@ def test_ipp_feeds_spatial_join(spark):
     np.testing.assert_allclose(
         pdf["slant_tec"], pdf["tec"] * pdf["slant"], rtol=0, atol=0
     )
+
+
+def test_ipp_sidecar_pinned_to_numpy_twin():
+    """The ipp_golden.parquet oracle sidecar (generated from the Spark
+    query's own output) must agree with the independent numpy twin on the
+    registered sweep geometry — a buggy engine regeneration cannot slip
+    through the driver gate unnoticed."""
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/repo/ionex_spark/data/ipp_golden.parquet")
+    assert len(pdf) == 2000
+    ids = pdf["obs_id"].to_numpy()
+    lat = -84.0 + (ids % 57) * 3.0
+    lon = -180.0 + (ids % 96) * 3.75
+    elev = 5.0 + (ids % 18) * 4.7
+    azim = (ids % 73) * 5.0
+    w_lat, w_lon, w_slant = ipp.ipp_numpy(lat, lon, elev, azim)
+    np.testing.assert_allclose(pdf["ipp_lat"], w_lat, atol=1e-9)
+    np.testing.assert_allclose(pdf["ipp_lon"], w_lon, atol=1e-9)
+    np.testing.assert_allclose(pdf["slant"], w_slant, atol=1e-12)
