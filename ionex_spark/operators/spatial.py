@@ -207,11 +207,41 @@ def temporal_spatial_join(
     ).drop("sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1")
 
 
+def _irregular_intervals(
+    epochs: DataFrame,
+    epoch_col: str = "esec",
+    slot_col: str | None = None,
+) -> DataFrame:
+    """(t0, t1, tmax[, slot0, slot1]) interval table over an irregular
+    epoch axis: lead() window over the distinct sorted epochs.  The
+    epoch table is tiny (map-count rows) so the single-partition window
+    is irrelevant; carrying ``slot_col`` maps each bracket epoch to its
+    TEC-map slot for the end-to-end interpolation path."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(epoch_col)
+    wall = Window.partitionBy()
+    cols = [epoch_col] + ([slot_col] if slot_col else [])
+    iv = epochs.select(*cols).distinct().withColumn(
+        "t1", F.lead(epoch_col).over(w)
+    )
+    if slot_col:
+        iv = iv.withColumn("slot1", F.lead(slot_col).over(w)).withColumnRenamed(
+            slot_col, "slot0"
+        )
+    return (
+        iv.withColumn("tmax", F.max(epoch_col).over(wall))
+        .filter(F.col("t1").isNotNull())
+        .withColumnRenamed(epoch_col, "t0")
+    )
+
+
 def bracket_irregular(
     points: DataFrame,
     epochs: DataFrame,
     tsec_col: str = "tsec",
     epoch_col: str = "esec",
+    slot_col: str | None = None,
 ) -> DataFrame:
     """Temporal bracketing for an IRREGULAR epoch axis.
 
@@ -222,19 +252,9 @@ def bracket_irregular(
     ``t0 <= t < t1`` (t == t1 accepted on the FINAL interval only — the
     reference's backward branch at the last epoch).  The epoch table is
     tiny -> broadcast, so the range join is a BroadcastNestedLoop over a
-    handful of intervals, not a shuffle; output adds (t0, t1, w1)."""
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(epoch_col)
-    wall = Window.partitionBy()
-    intervals = (
-        epochs.select(epoch_col)
-        .distinct()
-        .withColumn("t1", F.lead(epoch_col).over(w))
-        .withColumn("tmax", F.max(epoch_col).over(wall))
-        .filter(F.col("t1").isNotNull())
-        .withColumnRenamed(epoch_col, "t0")
-    )
+    handful of intervals, not a shuffle; output adds (t0, t1, w1), plus
+    (slot0, slot1) when ``slot_col`` names the epochs' map-slot column."""
+    intervals = _irregular_intervals(epochs, epoch_col, slot_col)
     cond = (F.col(tsec_col) >= F.col("t0")) & (
         (F.col(tsec_col) < F.col("t1"))
         | ((F.col(tsec_col) == F.col("t1")) & (F.col("t1") == F.col("tmax")))
@@ -247,3 +267,65 @@ def bracket_irregular(
             " / (cast(t1 as double) - cast(t0 as double))"
         ),
     )
+
+
+def build_tec_cell_pairs_irregular(
+    cells: DataFrame, slot_pairs: DataFrame
+) -> DataFrame:
+    """Bracket-pair dimension for an ARBITRARY (slot0, slot1) interval
+    table — the irregular-axis twin of build_tec_cell_pairs (which
+    hard-codes slot1 = slot0 + 1).  slot0 uniquely identifies its
+    interval, so the probe key stays the single packed long on slot0."""
+    c0 = cells.selectExpr(
+        "slot as slot0", "lat_i", "lon_i",
+        "tec_sw as sw0", "tec_se as se0", "tec_nw as nw0", "tec_ne as ne0",
+    )
+    c1 = cells.selectExpr(
+        "slot as slot1", "lat_i", "lon_i",
+        "tec_sw as sw1", "tec_se as se1", "tec_nw as nw1", "tec_ne as ne1",
+    )
+    return (
+        c0.join(F.broadcast(slot_pairs.select("slot0", "slot1")), "slot0")
+        .join(c1, ["slot1", "lat_i", "lon_i"])
+        .selectExpr(
+            f"{packed_key_expr('slot0')} as ck0",
+            "sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1",
+        )
+    )
+
+
+def temporal_spatial_join_irregular(
+    points: DataFrame,
+    cells: DataFrame,
+    epochs: DataFrame,
+    tsec_col: str = "tsec",
+    lat: str = "lat",
+    lon: str = "lon",
+    out: str = "tec",
+    epoch_col: str = "esec",
+    slot_col: str = "slot",
+) -> DataFrame:
+    """END-TO-END irregular-axis interpolation: bracket tsec on the
+    irregular epoch axis (range join against the tiny broadcast interval
+    table), then ONE broadcast cell-pair probe + bilinear at both bracket
+    epochs + linear temporal combine — the irregular twin of
+    temporal_spatial_join, completing the reference's bracketing path
+    (src/lib.rs:1123-1137) with the §2.8 combine.  ``epochs`` maps each
+    irregular epoch second to its TEC-map slot: (esec, slot).
+
+    Same 100 TB shape as the regular path: the point side stays narrow
+    (bracket + cell index are per-row), both joins are broadcasts."""
+    br = bracket_irregular(points, epochs, tsec_col, epoch_col, slot_col)
+    p = with_cell_index(br, lat, lon).withColumn(
+        "ck0", F.expr(packed_key_expr("slot0"))
+    )
+    slot_pairs = _irregular_intervals(epochs, epoch_col, slot_col)
+    pairs = build_tec_cell_pairs_irregular(cells, slot_pairs)
+    j = p.join(F.broadcast(pairs), "ck0", "inner").drop("ck0")
+    p_expr = sqlgen.frac_p_sql(lat, "lat_i")
+    q_expr = sqlgen.frac_q_sql(lon, "lon_i")
+    tec0 = sqlgen.bilinear_sql(p_expr, q_expr, "sw0", "se0", "nw0", "ne0")
+    tec1 = sqlgen.bilinear_sql(p_expr, q_expr, "sw1", "se1", "nw1", "ne1")
+    return j.withColumn(
+        out, F.expr(f"(1.0 - w1) * {tec0} + w1 * {tec1}")
+    ).drop("sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1")

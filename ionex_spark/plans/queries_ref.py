@@ -672,6 +672,66 @@ def asof_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "t0", "t1", "w1")
 
 
+def _tec_at(slot_expr: str) -> str:
+    return sqlgen.bilinear_sql(
+        sqlgen.frac_p_sql("lat", "lat_i"),
+        sqlgen.frac_q_sql("lon", "lon_i"),
+        sqlgen.corner_tec_sql("lat_i", "lon_i", slot_expr),
+        sqlgen.corner_tec_sql("lat_i", "(lon_i + 1)", slot_expr),
+        sqlgen.corner_tec_sql("(lat_i + 1)", "lon_i", slot_expr),
+        sqlgen.corner_tec_sql("(lat_i + 1)", "(lon_i + 1)", slot_expr),
+    )
+
+
+@register(
+    "temporal_interp_irregular",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+ep AS (SELECT (s.s * s.s * 600) AS esec, s.s AS slot
+       FROM (SELECT unnest(range(0, 13)) AS s) s),
+iv AS (
+  SELECT esec AS t0, lead(esec) OVER (ORDER BY esec) AS t1,
+         slot AS slot0, lead(slot) OVER (ORDER BY esec) AS slot1,
+         max(esec) OVER () AS tmax
+  FROM ep
+),
+br AS (
+  SELECT p.id, p.lat, p.lon, i.slot0, i.slot1,
+         (cast(p.tsec as double) - cast(i.t0 as double))
+         / (cast(i.t1 as double) - cast(i.t0 as double)) AS w1
+  FROM pts p JOIN iv i ON p.tsec >= i.t0
+    AND (p.tsec < i.t1 OR (p.tsec = i.t1 AND i.t1 = i.tmax))
+  WHERE i.t1 IS NOT NULL
+),
+idx AS (
+  SELECT id, lat, lon, slot0, slot1, w1,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM br
+)
+SELECT id, slot0, w1,
+       ({D(1.0)} - w1) * {_tec_at('slot0')}
+       + w1 * {_tec_at('slot1')} AS tec
+FROM idx
+""",
+)
+def temporal_interp_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END interpolation on an IRREGULAR (quadratically spaced)
+    epoch axis: range-join bracketing -> single broadcast cell-pair probe
+    -> bilinear at both bracket maps -> linear temporal combine — the
+    reference's sorted-epoch bracketing (src/lib.rs:1123-1137) composed
+    with the §2.8 kernel, which asof_irregular alone stopped short of."""
+    from ionex_spark.operators import spatial
+
+    pts = event_points(spark, sf_dir)
+    epochs = spark.range(13).selectExpr(
+        "id * id * 600 as esec", "id as slot"
+    )
+    cells = spatial.build_tec_cells(spark, n_slots=13)
+    out = spatial.temporal_spatial_join_irregular(pts, cells, epochs)
+    return out.select("id", "slot0", "w1", "tec")
+
+
 # ------------------------------------------------ general point-corpus kNN
 
 @register(

@@ -166,3 +166,44 @@ def test_plan_is_broadcast_and_shuffle_free(spark):
     assert "BroadcastHashJoin" in plan
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_temporal_irregular_boundary_and_midpoint(spark):
+    """End-to-end irregular-axis interpolation: a point exactly AT an
+    irregular map epoch gets w1 = 0 and the aligned bilinear value; a
+    mid-interval point gets the exact linear combine of the two bracket
+    maps."""
+    from ionex_spark.operators import spatial
+
+    epochs = spark.range(13).selectExpr("id * id * 600 as esec", "id as slot")
+    cells = spatial.build_tec_cells(spark, n_slots=13)
+    pts = spark.createDataFrame(
+        [
+            (0, 12.3, 45.6, 4 * 4 * 600),          # exactly at slot 4
+            (1, -33.0, 100.25, 86400),             # final epoch (t == t1)
+            (2, 12.3, 45.6, (4 * 4 * 600 + 5 * 5 * 600) // 2),  # midpoint
+        ],
+        "id bigint, lat double, lon double, tsec bigint",
+    )
+    out = {
+        r.id: r
+        for r in spatial.temporal_spatial_join_irregular(
+            pts, cells, epochs
+        ).collect()
+    }
+    assert out[0].w1 == 0.0 and out[0].slot0 == 4
+    assert out[1].w1 == 1.0 and out[1].slot0 == 11  # accepted at tmax
+    aligned = {
+        r.id: r.tec
+        for r in spatial.spatial_join_bilinear(
+            spark.createDataFrame(
+                [(0, 12.3, 45.6, 4), (1, -33.0, 100.25, 12),
+                 (4, 12.3, 45.6, 5)],
+                "id bigint, lat double, lon double, slot bigint",
+            ),
+            cells,
+        ).collect()
+    }
+    assert out[0].tec == aligned[0]
+    assert out[1].tec == aligned[1]
+    assert out[2].tec == 0.5 * aligned[0] + 0.5 * aligned[4]
