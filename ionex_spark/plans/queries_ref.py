@@ -278,6 +278,55 @@ def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders + customer BUCKETED on the join key, then co-located
+    SortMergeJoin with ZERO Exchange (plan-asserted in tests/
+    test_bucketed.py) — shared by the registered rollup query below."""
+    from ionex_spark.sources import bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey as o_custkey", "c_mktsegment"
+    )
+    bucketed.write_bucketed(o, "gate_bucketed_orders", "o_custkey", buckets=8)
+    bucketed.write_bucketed(c, "gate_bucketed_customer", "o_custkey", buckets=8)
+    return bucketed.cobucketed_join(
+        spark,
+        "gate_bucketed_orders",
+        "gate_bucketed_customer",
+        "o_custkey",
+        force_smj=True,
+    )
+
+
+@register(
+    "bucketed_join_rollup",
+    oracle="""
+SELECT o.o_orderstatus, c.c_mktsegment,
+       count(*) AS n,
+       cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi-join with NO runtime shuffle on either side: both
+    tables are written bucketed on the join key (sources/bucketed.py), so
+    the SortMergeJoin reads co-located buckets directly — the write
+    amortizes the shuffle, the right lever for a repeatedly-joined 100 TB
+    table.  The oracle is the plain (shuffled) join: identical semantics
+    is the point.  Zero-Exchange plan asserted in tests/test_bucketed.py."""
+    j = bucketed_join_frames(spark, sf_dir)
+    return j.groupBy("o_orderstatus", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
+        ).alias("revenue"),
+    )
+
+
 @register(
     "topk_orders_per_customer",
     oracle="""

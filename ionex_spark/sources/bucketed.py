@@ -41,9 +41,17 @@ def cobucketed_join(
     right_table: str,
     key: str,
     how: str = "inner",
+    force_smj: bool = False,
 ) -> DataFrame:
     """Join two tables bucketed on the same key with the same bucket
-    count — planned WITHOUT any Exchange on either side."""
+    count — planned WITHOUT any Exchange on either side.
+
+    ``force_smj`` adds a MERGE join hint so the co-located SortMergeJoin
+    plan is exercised even when one side is small enough to broadcast
+    (fixtures, plan tests); production leaves it off and lets Catalyst
+    pick broadcast when that is genuinely cheaper."""
     left = spark.read.table(left_table)
+    if force_smj:
+        left = left.hint("merge")
     right = spark.read.table(right_table)
     return left.join(right, key, how)

@@ -64,3 +64,45 @@ def test_bucketed_ivf_lists_aggregate_no_exchange(spark):
         assert per_list.count() == cent.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_ivf_lists")
+
+
+def test_gate_bucketed_join_query_plan_and_values(spark):
+    """The driver-gated bucketed_join_rollup query: the underlying join
+    must be a zero-Exchange SortMergeJoin over the two bucketed tables,
+    and the rollup must match the plain shuffled join."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.plans.queries_ref import (
+        bucketed_join_frames,
+        bucketed_join_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        j = bucketed_join_frames(spark, sf)
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        got = {
+            (r.o_orderstatus, r.c_mktsegment): (r.n, r.revenue)
+            for r in bucketed_join_rollup(spark, sf).collect()
+        }
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        want = {
+            (r.o_orderstatus, r.c_mktsegment): (r.n, r.revenue)
+            for r in o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("o_orderstatus", "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    "cast(sum(cast(o_totalprice as decimal(18,2)))"
+                    " as double)"
+                ).alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gate_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS gate_bucketed_customer")
