@@ -16,8 +16,12 @@ table layer with the same *semantics* the north_rule needs:
   (job_id, chunk), the Iceberg-snapshot checkpoint pattern of
   BASELINE.json.north_star.
 
-With Iceberg jars present the same call sites would map 1:1 onto
-``df.writeTo(...).append()`` + snapshot ids; nothing else changes.
+With Iceberg jars present, ``make_table`` dispatches the same call sites
+onto a real Iceberg catalog table (``IcebergTable``:
+``df.writeTo(...).append()`` + the ``.snapshots`` metadata table + VERSION
+AS OF time travel); the parquet+manifest ``SnapshotTable`` is the
+jar-free fallback.  ``ResumableJob`` works against either backend
+unchanged — both expose the same snapshots()/append()/read() surface.
 """
 
 from __future__ import annotations
@@ -28,6 +32,90 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the session classpath
+    (Class.forName probe through py4j — no catalog config needed to
+    answer the question; using IcebergTable additionally requires a
+    configured catalog, which is a deployment concern)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def make_table(spark: SparkSession, root: str, name: str | None = None):
+    """Factory: an ``IcebergTable`` bound to catalog table ``name`` when
+    the Iceberg runtime is present AND a table name is given; otherwise
+    the parquet+manifest ``SnapshotTable`` at ``root``.  Call sites
+    (ResumableJob included) are backend-agnostic."""
+    if name is not None and iceberg_available(spark):
+        return IcebergTable(spark, name)
+    return SnapshotTable(root)
+
+
+class IcebergTable:
+    """SnapshotTable's surface over a real Iceberg catalog table.
+
+    snapshots() rows mirror the manifest dicts (snapshot_id, parent_id,
+    timestamp, summary) sourced from the ``<table>.snapshots`` metadata
+    table; chunk identity for ResumableJob rides in snapshot summary
+    properties via the ``snapshot-property.*`` write option; row counts
+    come from the summary's ``added-records`` (no file re-read).  Only
+    constructed when ``iceberg_available`` — import-time never touches
+    the JVM, so the module works jar-free."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark = spark
+        self.name = name
+        self.root = name  # lineage files for ResumableJob live per-table
+        if not spark.catalog.tableExists(name):
+            raise ValueError(
+                f"Iceberg table {name!r} does not exist; create it first"
+                " (spark.sql CREATE TABLE ... USING iceberg)"
+            )
+
+    def snapshots(self) -> list[dict]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, parent_id, committed_at, summary"
+            f" FROM {self.name}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [
+            {
+                "snapshot_id": r.snapshot_id,
+                "parent_id": r.parent_id,
+                "timestamp": r.committed_at.timestamp(),
+                "summary": dict(r.summary or {}),
+                "added_records": int(
+                    (r.summary or {}).get("added-records", 0)
+                ),
+            }
+            for r in rows
+        ]
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        w = df.writeTo(self.name)
+        for k, v in (summary or {}).items():
+            w = w.option(f"snapshot-property.{k}", str(v))
+        w.append()
+        return self.current_snapshot()["snapshot_id"]
+
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        if snapshot_id is None:
+            return spark.read.table(self.name)
+        return spark.sql(
+            f"SELECT * FROM {self.name} VERSION AS OF {int(snapshot_id)}"
+        )
 
 
 class SnapshotTable:
@@ -121,10 +209,14 @@ class ResumableJob:
     ``_lineage/<job_id>.json`` and skipped on re-run.
     """
 
-    def __init__(self, table: SnapshotTable, job_id: str):
+    def __init__(self, table, job_id: str, lineage_dir: str | None = None):
         self.table = table
         self.job_id = job_id
-        self.lineage_dir = os.path.join(table.root, "_lineage")
+        # IcebergTable's root is a catalog name, not a path — such
+        # deployments pass an explicit lineage_dir (any shared filesystem
+        # or object-store prefix); the SnapshotTable default co-locates
+        # lineage with the table.
+        self.lineage_dir = lineage_dir or os.path.join(table.root, "_lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.lineage_path = os.path.join(self.lineage_dir, f"{job_id}.json")
 
@@ -167,8 +259,7 @@ class ResumableJob:
                 # crash-resume: snapshot landed but the lineage record did
                 # not — backfill lineage from the manifest, DO NOT re-run
                 s = committed[name]
-                added = s.get("added_files", [])
-                rows = spark.read.parquet(*added).count() if added else 0
+                rows = self._snapshot_rows(spark, s)
                 records.append(
                     {
                         "job_id": self.job_id,
@@ -187,15 +278,14 @@ class ResumableJob:
             sid = self.table.append(
                 df, summary={"job_id": self.job_id, "chunk": name}
             )
-            # count from the files just committed (parquet footer metadata
-            # only) instead of re-computing the chunk a second time
-            added = [
+            # count from the snapshot just committed (parquet footer
+            # metadata / Iceberg summary only) instead of re-computing
+            # the chunk a second time
+            committed_snap = [
                 s_ for s_ in self.table.snapshots()
                 if s_["snapshot_id"] == sid
-            ][0]["added_files"]
-            rows = (
-                spark.read.parquet(*added).count() if added else 0
-            )
+            ][0]
+            rows = self._snapshot_rows(spark, committed_snap)
             rec = {
                 "job_id": self.job_id,
                 "chunk": name,
@@ -213,6 +303,15 @@ class ResumableJob:
             "recovered": recovered,
             "lineage": records,
         }
+
+    @staticmethod
+    def _snapshot_rows(spark: SparkSession, snap: dict) -> int:
+        """Rows a snapshot added: Iceberg summaries carry added-records
+        directly; manifest snapshots count via the added parquet footers."""
+        if "added_records" in snap:
+            return snap["added_records"]
+        added = snap.get("added_files", [])
+        return spark.read.parquet(*added).count() if added else 0
 
     def _write_lineage(self, records: list[dict]) -> None:
         tmp = self.lineage_path + ".tmp"
