@@ -15,6 +15,10 @@ cluster the same calls target the production catalog unchanged.
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -29,6 +33,21 @@ def write_bucketed(
     ``key``.  Sorting within buckets lets the co-located join skip its
     sort as well (plan shows SortMergeJoin without preceding Sort when
     both sides are sorted)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh in-memory catalog does not know about a PREVIOUS session's
+    # managed-table directory, and saveAsTable refuses to reuse the
+    # orphaned location (LOCATION_ALREADY_EXISTS) — clear it.  Local-fs
+    # only by design: a persistent metastore's DROP TABLE above already
+    # removed managed data, so the path never exists there.
+    try:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            loc = os.path.join(wh.path, table.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+    except Exception:
+        pass
     w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
