@@ -182,12 +182,16 @@ def main() -> None:
         ONLY
         if ONLY
         else [
-            "tile_bilinear", "temporal_interp", "knn_grid", "knn_points",
-            "pip_polygons", "cell_rollup", "roi_filter", "grid_cells_join",
+            "tile_bilinear", "temporal_interp", "temporal_interp_irregular",
+            "knn_grid", "knn_points",
+            "pip_polygons", "cell_rollup", "tile_kring_counts",
+            "roi_filter", "grid_cells_join",
             "grid_merge", "dedup_exact", "dedup_minhash_pairs",
             "dedup_groups", "dedup_simhash", "dedup_simhash_pairs",
-            "text_features", "skew_salted_rollup",
+            "dedup_simhash_pairs_refined",
+            "text_features", "tfidf_top_terms", "skew_salted_rollup",
             "stratified_sample", "pack_sequences",
+            "domain_blocklist_rollup", "ipp_slant", "bucketed_join_rollup",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
         ]

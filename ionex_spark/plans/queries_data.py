@@ -602,6 +602,128 @@ def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH alltoks AS (
+  SELECT doc_id,
+         unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+           AS token
+  FROM documents
+),
+toks AS (SELECT doc_id, token FROM alltoks WHERE length(token) > 0),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+         cast(tf.tf as double) * (cast(n.n_docs + 1 as double)
+            / cast(dfreq.doc_freq + 1 as double)) AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, doc_freq, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms — the keyword-extraction /
+    quality-signal step composing term frequency with the corpus document
+    frequency.  idf is the RATIONAL (n_docs+1)/(df+1) (monotone in the
+    usual log idf) so the score stays transcendental-free and bit-exact
+    across engines (NOTES.md gotcha: no ln/log in oracled paths).
+
+    Scale shape: tf and df are each ONE groupBy over the exploded tokens;
+    the df table is vocabulary-sized (small) -> broadcast join back onto
+    tf; ranking windows partition by doc_id (no global shuffle hotspot)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    toks = dd.tokens_exploded(docs)
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "score",
+        F.expr(
+            f"cast(tf as double) * (cast({n_docs} + 1 as double)"
+            " / cast(doc_freq + 1 as double))"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .selectExpr(
+            "doc_id", "cast(rank as bigint) as rank",
+            "token", "tf", "doc_freq", "score",
+        )
+    )
+
+
+_DOMAIN = (
+    "concat(CASE WHEN doc_id % 11 < 3 THEN 'alpha' WHEN doc_id % 11 < 5"
+    " THEN 'beta' WHEN doc_id % 11 < 8 THEN 'spamfarm' ELSE 'gamma' END,"
+    " '-', cast(doc_id % 3 as string), '.example.org')"
+)
+
+_URL_RE = "https?://([^/]+)/"
+
+_BLOCKED = ("spamfarm-0.example.org", "spamfarm-2.example.org")
+
+
+@register(
+    "domain_blocklist_rollup",
+    oracle=f"""
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://', {_DOMAIN}, '/p/', cast(doc_id as varchar))
+           AS url
+  FROM documents
+),
+dom AS (
+  SELECT doc_id, regexp_extract(url, '{_URL_RE}', 1) AS domain FROM urls
+)
+SELECT domain, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM dom
+WHERE domain NOT IN ('{_BLOCKED[0]}', '{_BLOCKED[1]}')
+GROUP BY domain
+""",
+)
+def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus hygiene: parse the source URL's domain (regexp), drop
+    documents from blocklisted domains via a BROADCAST ANTI-join (the
+    blocklist is a small curated table — never shuffle the corpus against
+    it), and roll up per-domain document counts.  URLs are synthesized
+    deterministically from doc_id so both engines see identical input."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.selectExpr(
+        "doc_id",
+        f"concat('https://', {_DOMAIN}, '/p/', cast(doc_id as string))"
+        " as url",
+    )
+    dom = urls.selectExpr(
+        "doc_id", f"regexp_extract(url, '{_URL_RE}', 1) as domain"
+    )
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _BLOCKED], "domain string"
+    )
+    kept = dom.join(F.broadcast(blocklist), "domain", "left_anti")
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 # ------------------------------------------- sampling & sequence packing
 
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}

@@ -475,6 +475,78 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- hierarchical tile k-ring
+
+_KRES = 6
+_KNLAT = 1 << _KRES          # 64 lat rows at res 6
+_KNLON = 1 << (_KRES + 1)    # 128 lon cols
+_KRES_MULT = 1 << 58
+_KLAT_MULT = 1 << 29
+
+
+@register(
+    "tile_kring_counts",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+enc AS (
+  SELECT id, {sqlgen.cell_id_sql('lat', 'lon', _KRES)} AS cell6 FROM pts
+),
+dec AS (
+  SELECT id,
+         CAST(((cell6 % {_KRES_MULT}) - ((cell6 % {_KRES_MULT})
+           % {_KLAT_MULT})) / {_KLAT_MULT} AS BIGINT) AS lat_i,
+         cell6 % {_KLAT_MULT} AS lon_i
+  FROM enc
+),
+offs AS (SELECT di.d AS di, dj.d AS dj
+         FROM (VALUES (-1),(0),(1)) di(d), (VALUES (-1),(0),(1)) dj(d)),
+ring AS (
+  SELECT d.id, d.lat_i + o.di AS n_lat_i,
+         ((d.lon_i + o.dj) % {_KNLON} + {_KNLON}) % {_KNLON} AS n_lon_i
+  FROM dec d CROSS JOIN offs o
+  WHERE d.lat_i + o.di BETWEEN 0 AND {_KNLAT - 1}
+)
+SELECT CAST({_KRES} * {_KRES_MULT} + n_lat_i * {_KLAT_MULT} + n_lon_i
+       AS BIGINT) AS ring_cell, count(*) AS n_points
+FROM ring GROUP BY 1
+""",
+)
+def tile_kring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/S2-style grid-disk (k=1 ring) on the HIERARCHICAL tile grid:
+    decode each point's res-6 tile id back to (lat_i, lon_i), enumerate
+    the 3x3 neighbor disk with longitude wrap + pole clamp, re-encode,
+    and count points per ring tile — the neighborhood-density rollup that
+    pairs with cell_rollup's parent rollup for the north_star's cell
+    algebra (encode / parent / neighbors).  Broadcast offsets explode +
+    one groupBy: the standard skew-safe shape."""
+    pts = event_points(spark, sf_dir)
+    enc = pts.selectExpr(
+        "id", f"{sqlgen.cell_id_sql('lat', 'lon', _KRES)} as cell6"
+    )
+    dec = enc.selectExpr(
+        "id",
+        f"(cell6 % {_KRES_MULT}) div {_KLAT_MULT} as lat_i",
+        f"cell6 % {_KLAT_MULT} as lon_i",
+    )
+    offs = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)],
+        "di int, dj int",
+    )
+    ring = (
+        dec.crossJoin(F.broadcast(offs))
+        .selectExpr(
+            "id",
+            "lat_i + di as n_lat_i",
+            f"((lon_i + dj) % {_KNLON} + {_KNLON}) % {_KNLON} as n_lon_i",
+        )
+        .filter(f"n_lat_i between 0 and {_KNLAT - 1}")
+    )
+    return ring.selectExpr(
+        f"cast({_KRES} * {_KRES_MULT} + n_lat_i * {_KLAT_MULT} + n_lon_i"
+        " as bigint) as ring_cell"
+    ).groupBy("ring_cell").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 # ------------------------------------------------ geodesic cell metrics
 
 @register(
