@@ -638,19 +638,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     usual log idf) so the score stays transcendental-free and bit-exact
     across engines (NOTES.md gotcha: no ln/log in oracled paths).
 
-    Scale shape: tf and df are each ONE groupBy over the exploded tokens;
-    the df table is vocabulary-sized (small) -> broadcast join back onto
-    tf; ranking windows partition by doc_id (no global shuffle hotspot)."""
+    Scale shape: tokens are hash-partitioned by doc_id, so the
+    (doc_id, token) aggregate runs exchange-free on that partitioning (a
+    subset of the group keys clusters it) and the per-doc ranking window
+    reuses it too (plan: Window directly over the REPARTITION exchange,
+    WindowGroupLimit pushes rank<=3 below the sort).  doc_freq is derived
+    from the aggregated tf rows (unique per (doc, token), so rows-per-
+    token IS the distinct-doc count); Catalyst recomputes the tf subtree
+    for that branch rather than materializing it — the deliberate trade:
+    a second token pass costs CPU, persisting 100 TB of tf rows costs
+    cluster storage (ReuseExchange picks it up for free under AQE when
+    the subtrees unify)."""
     from pyspark.sql.window import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    toks = dd.tokens_exploded(docs)
+    toks = dd.tokens_exploded(docs).repartition(F.col("doc_id"))
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
     )
     scored = tf.join(F.broadcast(dfreq), "token").withColumn(
         "score",

@@ -281,23 +281,28 @@ def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders + customer BUCKETED on the join key, then co-located
     SortMergeJoin with ZERO Exchange (plan-asserted in tests/
-    test_bucketed.py) — shared by the registered rollup query below."""
+    test_bucketed.py) — shared by the registered rollup query below.
+
+    Table names carry the session's application id: two concurrent local
+    sessions (e.g. a gate run next to a plan dump) would otherwise race
+    on drop/write of the same managed-table location."""
     from ionex_spark.sources import bucketed
 
+    suffix = "".join(
+        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+    )
+    t_orders = f"gate_bucketed_orders_{suffix}"
+    t_customer = f"gate_bucketed_customer_{suffix}"
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_orderstatus", "o_totalprice"
     )
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
         "c_custkey as o_custkey", "c_mktsegment"
     )
-    bucketed.write_bucketed(o, "gate_bucketed_orders", "o_custkey", buckets=8)
-    bucketed.write_bucketed(c, "gate_bucketed_customer", "o_custkey", buckets=8)
+    bucketed.write_bucketed(o, t_orders, "o_custkey", buckets=8)
+    bucketed.write_bucketed(c, t_customer, "o_custkey", buckets=8)
     return bucketed.cobucketed_join(
-        spark,
-        "gate_bucketed_orders",
-        "gate_bucketed_customer",
-        "o_custkey",
-        force_smj=True,
+        spark, t_orders, t_customer, "o_custkey", force_smj=True
     )
 
 

@@ -104,5 +104,8 @@ def test_gate_bucketed_join_query_plan_and_values(spark):
         }
         assert got == want
     finally:
-        spark.sql("DROP TABLE IF EXISTS gate_bucketed_orders")
-        spark.sql("DROP TABLE IF EXISTS gate_bucketed_customer")
+        suffix = "".join(
+            ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+        )
+        spark.sql(f"DROP TABLE IF EXISTS gate_bucketed_orders_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS gate_bucketed_customer_{suffix}")
