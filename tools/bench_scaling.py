@@ -50,6 +50,9 @@ def run_once(cpus: int) -> dict:
             # independent and would bias the ratio on short runs; disabled
             # at BOTH levels here, kept on in production (skew backstop)
             "SPARK_GRAFT_AQE": os.environ.get("SPARK_GRAFT_AQE", "0"),
+            # this tool manages its own SCALING_RUNS repeats — bench.py's
+            # median-of-3 would nest to 9 runs of an 800M-row job
+            "SPARK_GRAFT_BENCH_RUNS": "1",
         }
     )
     out = subprocess.run(
