@@ -522,6 +522,84 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding, x -> CAST(greatest(least(
+             floor(CAST(x AS DOUBLE) / scale + 0.5), 127.0), -127.0)
+             AS BIGINT)) AS qvec
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(list_transform(list_zip(qvec,
+           range(1, len(qvec) + 1)),
+           p -> p[1] * CAST(p[2] AS BIGINT)), 'sum') AS BIGINT)
+         AS q_dot_idx,
+       list_aggregate(list_transform(list_zip(embedding, qvec),
+           p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
+           'max') AS max_abs_err
+FROM q
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (similarity.quantize_int8): scale + position-weighted code checksum +
+    reconstruction error, bit-exact across engines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.quantize_int8(emb)
+    return out.select(
+        "vec_id", "scale", "q_sum", "q_dot_idx", "max_abs_err"
+    )
+
+
+@register(
+    "similarity_ivf_bucketed",
+    # identical semantics to similarity_ivf — the POINT: rereading the
+    # lists from a bucketed table must not change a single ANN result,
+    # while per-list scans/aggregates become exchange-free
+    # (tests/test_bucketed.py asserts the plan).
+    oracle=None,  # assigned right below to share similarity_ivf's oracle
+)
+def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the corpus lists WRITTEN BUCKETED by list_id and read
+    back from the table — the storage layout the 100 TB deployment uses
+    so each probe touches only its lists' buckets.  Results must equal
+    the in-memory similarity_ivf exactly (shared oracle)."""
+    from ionex_spark.sources import bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter("vec_id % 50 = 0")
+    queries = emb.filter("vec_id % 100 = 0")
+    lists = sim.ivf_assign(emb, centroids)
+    suffix = "".join(
+        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+    )
+    table = f"gate_ivf_lists_{suffix}"
+    bucketed.write_bucketed(lists, table, "list_id", buckets=8)
+    corpus_lists = spark.read.table(table)
+    out = sim.ivf_topk(corpus_lists, queries, centroids, k=5, nprobe=2)
+    return out.selectExpr(
+        "query_id", "cast(rank as bigint) as rank",
+        "vec_id", "list_id", "cos_sim",
+    )
+
+
+# share similarity_ivf's oracle verbatim: the bucketed round trip must be
+# invisible in the results
+from ionex_spark.plans.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["similarity_ivf_bucketed"] = _ORACLES["similarity_ivf"]
+
+
+@register(
     "text_normalize",
     oracle="""
 WITH raw AS (
@@ -790,6 +868,48 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_expr=f"({tx.sample_hash_sql('doc_id', 'spark')}) % 8",
     )
     return out
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, lang,
+         CAST({tx.token_count_duckdb_sql('text')} AS BIGINT) AS n_tokens,
+         {tx.lang_id_sql('lower(text)')} AS lang_pred,
+         {tx.quality_score_sql('text')} AS quality
+  FROM documents
+),
+kept AS (
+  SELECT * FROM feats
+  WHERE n_tokens BETWEEN 5 AND 100000
+    AND quality >= CAST(0.05 AS DOUBLE)
+    AND lang_pred = lang
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY lang
+""",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest FILTER a training pipeline actually runs:
+    token-count bounds AND quality floor AND language-agreement
+    (predicted == labeled), then per-language keep stats.  Every
+    predicate is an already-oracled fragment (text.py), composed in one
+    narrow scan — Catalyst collapses the whole thing into a single
+    WholeStageCodegen filter over the parquet scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = tx.with_text_features(docs)
+    kept = feats.filter(
+        "n_tokens BETWEEN 5 AND 100000"
+        " AND quality >= CAST(0.05 AS DOUBLE)"
+        " AND lang_pred = lang"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.expr("cast(sum(n_tokens) as bigint)").alias("total_tokens"),
+    )
 
 
 # --------------------------------------------- multimodal gate coverage

@@ -434,6 +434,24 @@ def test_simhash_near_dup_pairs_end_to_end(spark):
     assert not any(3 in p for p in out)
 
 
+def test_quantize_int8_error_bound(spark):
+    """Symmetric int8 quantization: codes in [-127, 127] and per-
+    component reconstruction error <= scale/2 (the round-half-up bound),
+    including a zero vector (scale floor, codes all zero)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 16)], "vec_id bigint, embedding array<float>"
+    )
+    out = sim.quantize_int8(emb.unionByName(zero, allowMissingColumns=True)
+                            .select("vec_id", "embedding")).toPandas()
+    assert (out["max_abs_err"] <= out["scale"] / 2 * (1 + 1e-9)).all()
+    assert out["qvec"].map(lambda q: all(-127 <= v <= 127 for v in q)).all()
+    z = out[out["vec_id"] == 999_999].iloc[0]
+    assert all(v == 0 for v in z["qvec"]) and z["max_abs_err"] == 0.0
+
+
 def test_planes_for_bounds_candidate_count(spark):
     """planes_for must size the LSH bucket grid so near-dup candidate
     pairs stay ~n * target_bucket / 2 (linear in n), instead of the
