@@ -501,12 +501,25 @@ def simhash_near_dup_pairs(
     Larger max_hamming thresholds would silently miss pairs whose
     differing bits spread across all blocks, hence the raise.
     Output: (id_a, id_b, hamming)."""
+    sig = simhash64(df, id_col, text_col, backend)
+    return hamming_pairs_from_sig(sig, max_hamming, id_col, scheme)
+
+
+def hamming_pairs_from_sig(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    scheme: str = "bands",
+) -> DataFrame:
+    """Banded candidates + exact XOR-popcount hamming verify over ANY
+    64-bit signature presented as 4x16-bit band columns (band_0..band_3)
+    — shared by text simhash and image phash near-dup detection.
+    Output: (id_a, id_b, hamming), complete for max_hamming <= 3."""
     if max_hamming > 3:
         raise ValueError(
             "blocked candidate generation is only complete for"
             f" max_hamming <= 3; got {max_hamming}"
         )
-    sig = simhash64(df, id_col, text_col, backend)
     if scheme == "refined":
         cand = simhash_candidate_pairs_refined(sig, id_col)
     else:

@@ -538,6 +538,36 @@ def test_simhash_refined_matches_band_scheme(spark):
     assert bands == refined and len(bands) > 0
 
 
+def test_phash_near_dup_pairs(spark):
+    """Image near-dup detection on the phash column: planted twins with
+    <= 3 flipped bits are all found with exact hamming; far apart images
+    are not paired; both candidate schemes agree."""
+    import random
+
+    rng = random.Random(11)
+    rows, want = [], {}
+    for i in range(0, 600, 2):
+        ph = rng.getrandbits(64)
+        k = rng.randint(1, 3)
+        twin = ph
+        for b in rng.sample(range(64), k):
+            twin ^= 1 << b
+        def signed(v):  # same 64 bits, two's-complement int64 range
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        rows.append((f"img-{i:06d}", signed(ph)))
+        rows.append((f"img-{i + 1:06d}", signed(twin)))
+        want[(f"img-{i:06d}", f"img-{i + 1:06d}")] = k
+    imgs = spark.createDataFrame(rows, "image_id string, phash bigint")
+    for scheme in ("bands", "refined"):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in mm.phash_near_dup_pairs(imgs, scheme=scheme).collect()
+        }
+        for pair, k in want.items():
+            assert got.get(pair) == k, (scheme, pair)
+
+
 # ------------------------------------------------------------ multimodal
 
 def test_images_source_and_verify(spark):
