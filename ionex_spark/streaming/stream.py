@@ -77,6 +77,64 @@ def streaming_dedup_exact(
     )
 
 
+def streaming_near_dup_alerts(
+    stream_sig: DataFrame,
+    corpus_sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Near-dup ALERTS against a static reference corpus: every incoming
+    64-bit signature (4x16-bit bands, the simhash/phash layout) within
+    hamming <= 3 of any corpus signature emits (stream_id, corpus_id,
+    hamming, ts) — the ingest-side "is this already in my training set"
+    check.
+
+    Shape: stream-STATIC inner equi-join on banded keys — state-free and
+    broadcastable (the reference index is the small/static side; at
+    100 TB it is bucketed by band key instead), with the same pigeonhole
+    completeness guarantee as the batch operator
+    (dedup.hamming_pairs_from_sig).  A pair matching in several bands
+    would alert more than once, so alerts are deduplicated with
+    dropDuplicatesWithinWatermark — bounded state tracking only the
+    late-data horizon."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit band blocking is only complete for"
+            f" max_hamming <= 3; got {max_hamming}"
+        )
+    band_keys = F.array(
+        *[
+            F.expr(f"xxhash64(cast({b} as bigint), band_{b})")
+            for b in range(4)
+        ]
+    )
+    s = stream_sig.select(
+        F.col(id_col).alias("stream_id"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(f"band_{b}").alias(f"s_band_{b}") for b in range(4)],
+        F.explode(band_keys).alias("k"),
+    )
+    c = corpus_sig.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"band_{b}").alias(f"c_band_{b}") for b in range(4)],
+        F.explode(band_keys).alias("k"),
+    )
+    hamming = " + ".join(
+        f"bit_count(s_band_{b} ^ c_band_{b})" for b in range(4)
+    )
+    alerts = (
+        s.join(F.broadcast(c), "k")
+        .withColumn("hamming", F.expr(f"cast({hamming} as bigint)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("stream_id", "corpus_id", "hamming", "ts")
+    )
+    return alerts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["stream_id", "corpus_id"]
+    )
+
+
 # ------------------------------------------------ custom stateful operator
 
 STATE_SCHEMA = "n bigint, sum_tec double"
