@@ -501,6 +501,11 @@ def simhash_near_dup_pairs(
     Larger max_hamming thresholds would silently miss pairs whose
     differing bits spread across all blocks, hence the raise.
     Output: (id_a, id_b, hamming)."""
+    if max_hamming > 3:  # fail fast, before the signature job runs
+        raise ValueError(
+            "blocked candidate generation is only complete for"
+            f" max_hamming <= 3; got {max_hamming}"
+        )
     sig = simhash64(df, id_col, text_col, backend)
     return hamming_pairs_from_sig(sig, max_hamming, id_col, scheme)
 
