@@ -501,7 +501,9 @@ def simhash_near_dup_pairs(
     Larger max_hamming thresholds would silently miss pairs whose
     differing bits spread across all blocks, hence the raise.
     Output: (id_a, id_b, hamming)."""
-    if max_hamming > 3:  # fail fast, before the signature job runs
+    # validate before touching df so callers get ValueError, not an
+    # attribute/analysis error from building the signature plan
+    if max_hamming > 3:
         raise ValueError(
             "blocked candidate generation is only complete for"
             f" max_hamming <= 3; got {max_hamming}"

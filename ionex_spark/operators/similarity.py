@@ -225,7 +225,12 @@ def quantize_int8(
 
     Output keeps the int8 codes as qvec plus scalar audit columns
     (q_sum, q_dot_idx checksum, max_abs_err) so a gate query can compare
-    engines without sorting on array columns."""
+    engines without sorting on array columns.  EMPTY embeddings are
+    dropped first (like lsh_bucket_key's short-vector rule): they carry
+    no information, and engines disagree on empty-list folds (Spark
+    aggregate -> 0, DuckDB list_aggregate sum -> NULL; Spark
+    sequence(1, 0) is even the DESCENDING [1, 0])."""
+    corpus = corpus.filter(F.size(F.col(vec_col)) > 0)
     v = f"transform({vec_col}, x -> cast(x as double))"
     amax = f"array_max(transform({v}, x -> abs(x)))"
     scale = f"(greatest({amax}, 1e-30d) / 127.0d)"

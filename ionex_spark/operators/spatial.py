@@ -242,6 +242,7 @@ def bracket_irregular(
     tsec_col: str = "tsec",
     epoch_col: str = "esec",
     slot_col: str | None = None,
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """Temporal bracketing for an IRREGULAR epoch axis.
 
@@ -253,8 +254,11 @@ def bracket_irregular(
     reference's backward branch at the last epoch).  The epoch table is
     tiny -> broadcast, so the range join is a BroadcastNestedLoop over a
     handful of intervals, not a shuffle; output adds (t0, t1, w1), plus
-    (slot0, slot1) when ``slot_col`` names the epochs' map-slot column."""
-    intervals = _irregular_intervals(epochs, epoch_col, slot_col)
+    (slot0, slot1) when ``slot_col`` names the epochs' map-slot column.
+    Pass a precomputed ``intervals`` table to share it with other
+    consumers (temporal_spatial_join_irregular builds it once)."""
+    if intervals is None:
+        intervals = _irregular_intervals(epochs, epoch_col, slot_col)
     cond = (F.col(tsec_col) >= F.col("t0")) & (
         (F.col(tsec_col) < F.col("t1"))
         | ((F.col(tsec_col) == F.col("t1")) & (F.col("t1") == F.col("tmax")))
@@ -315,12 +319,14 @@ def temporal_spatial_join_irregular(
 
     Same 100 TB shape as the regular path: the point side stays narrow
     (bracket + cell index are per-row), both joins are broadcasts."""
-    br = bracket_irregular(points, epochs, tsec_col, epoch_col, slot_col)
+    intervals = _irregular_intervals(epochs, epoch_col, slot_col)
+    br = bracket_irregular(
+        points, epochs, tsec_col, epoch_col, slot_col, intervals=intervals
+    )
     p = with_cell_index(br, lat, lon).withColumn(
         "ck0", F.expr(packed_key_expr("slot0"))
     )
-    slot_pairs = _irregular_intervals(epochs, epoch_col, slot_col)
-    pairs = build_tec_cell_pairs_irregular(cells, slot_pairs)
+    pairs = build_tec_cell_pairs_irregular(cells, intervals)
     j = p.join(F.broadcast(pairs), "ck0", "inner").drop("ck0")
     p_expr = sqlgen.frac_p_sql(lat, "lat_i")
     q_expr = sqlgen.frac_q_sql(lon, "lon_i")

@@ -528,7 +528,7 @@ WITH s AS (
   SELECT vec_id, embedding,
          greatest(list_aggregate(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) / 127.0 AS scale
-  FROM embeddings
+  FROM embeddings WHERE len(embedding) > 0
 ),
 q AS (
   SELECT vec_id, embedding, scale,
@@ -579,9 +579,8 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter("vec_id % 50 = 0")
     queries = emb.filter("vec_id % 100 = 0")
     lists = sim.ivf_assign(emb, centroids)
-    suffix = "".join(
-        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
-    )
+    suffix = bucketed.session_suffix(spark)
+    bucketed.purge_session_tables(spark, "gate_ivf_lists_", suffix)
     table = f"gate_ivf_lists_{suffix}"
     bucketed.write_bucketed(lists, table, "list_id", buckets=8)
     corpus_lists = spark.read.table(table)
@@ -738,7 +737,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )
-    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+    # NO broadcast hint on dfreq: the vocabulary is small at fixture
+    # scale (Catalyst broadcasts it via the threshold anyway) but
+    # billions of distinct tokens at 10^10 docs — forcing a broadcast
+    # there OOMs where a shuffled join degrades gracefully
+    scored = tf.join(dfreq, "token").withColumn(
         "score",
         F.expr(
             f"cast(tf as double) * (cast({n_docs} + 1 as double)"

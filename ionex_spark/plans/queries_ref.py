@@ -288,9 +288,8 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     on drop/write of the same managed-table location."""
     from ionex_spark.sources import bucketed
 
-    suffix = "".join(
-        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
-    )
+    suffix = bucketed.session_suffix(spark)
+    bucketed.purge_session_tables(spark, "gate_bucketed_", suffix)
     t_orders = f"gate_bucketed_orders_{suffix}"
     t_customer = f"gate_bucketed_customer_{suffix}"
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(

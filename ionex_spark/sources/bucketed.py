@@ -22,6 +22,37 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 
+def session_suffix(spark: SparkSession) -> str:
+    """Alnum-filtered applicationId — the per-session table-name suffix
+    gate queries use so two local sessions never race on one managed
+    location (one definition; queries and tests must agree)."""
+    return "".join(ch for ch in spark.sparkContext.applicationId if ch.isalnum())
+
+
+def _warehouse_path(spark: SparkSession) -> str | None:
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return wh.path if wh.scheme in ("", "file") else None
+
+
+def purge_session_tables(
+    spark: SparkSession, prefix: str, keep_suffix: str | None = None
+) -> None:
+    """Remove PRIOR sessions' leftover per-session tables: every local
+    warehouse directory starting with ``prefix`` whose name does not end
+    with ``keep_suffix``.  Per-suffix names make concurrent sessions
+    safe but orphan one directory set per run — gate queries call this
+    with their own suffix so the warehouse stays bounded."""
+    root = _warehouse_path(spark)
+    if root is None or not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        if d.startswith(prefix.lower()) and (
+            keep_suffix is None or not d.endswith(keep_suffix.lower())
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {d}")
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -32,18 +63,22 @@ def write_bucketed(
     """Write df as a parquet table bucketed (and optionally sorted) by
     ``key``.  Sorting within buckets lets the co-located join skip its
     sort as well (plan shows SortMergeJoin without preceding Sort when
-    both sides are sorted)."""
+    both sides are sorted).
+
+    OVERWRITE semantics include clearing a previous SESSION's orphaned
+    managed-table directory (a fresh in-memory catalog does not know it,
+    and saveAsTable refuses the location otherwise).  Consequence: a
+    CONCURRENTLY-RUNNING session using the same fixed table name would
+    lose its data mid-scan — name tables per session (session_suffix)
+    when more than one local session can exist.  Local-fs only by
+    design: a persistent metastore's DROP TABLE already removes managed
+    data, so the path never exists there."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # A fresh in-memory catalog does not know about a PREVIOUS session's
-    # managed-table directory, and saveAsTable refuses to reuse the
-    # orphaned location (LOCATION_ALREADY_EXISTS) — clear it.  Local-fs
-    # only by design: a persistent metastore's DROP TABLE above already
-    # removed managed data, so the path never exists there.
     try:
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            loc = os.path.join(wh.path, table.lower())
+        root = _warehouse_path(spark)
+        if root is not None:
+            loc = os.path.join(root, table.lower())
             if os.path.exists(loc):
                 shutil.rmtree(loc)
     except Exception:

@@ -159,7 +159,6 @@ def export_ionex(
     # error.  Blocks are small formatted strings (O(epochs), not O(points))
     # so caching them is cheap; unpersisted before return.
     blocks_df = blocks_df.persist()
-    from ionex_spark.core.ionex_io import _fmt_epoch_body, _fmt_line
 
     # single-writer assembly is inherent to the one-file IONEX format, but
     # the driver never holds more than one PARTITION of blocks at a time:
@@ -177,6 +176,15 @@ def export_ionex(
         np.array([], dtype="datetime64[s]"),
         np.zeros((0, nlat, nlon), dtype=np.int64),
     ).splitlines()
+    try:
+        _write_body(fh_open, hdr_only, blocks_df)
+    finally:
+        blocks_df.unpersist()
+
+
+def _write_body(fh_open, hdr_only, blocks_df) -> None:
+    from ionex_spark.core.ionex_io import _fmt_epoch_body, _fmt_line
+
     with fh_open() as fh:
         for line in hdr_only:
             if "END OF FILE" not in line:
@@ -209,4 +217,3 @@ def export_ionex(
                     fh.write(line + "\n")
         for line in _fmt_line("", "END OF FILE"):
             fh.write(line + "\n")
-    blocks_df.unpersist()

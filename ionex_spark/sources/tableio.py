@@ -69,10 +69,13 @@ class IcebergTable:
     constructed when ``iceberg_available`` — import-time never touches
     the JVM, so the module works jar-free."""
 
+    # ResumableJob must not derive a lineage path from a catalog name
+    requires_lineage_dir = True
+
     def __init__(self, spark: SparkSession, name: str):
         self.spark = spark
         self.name = name
-        self.root = name  # lineage files for ResumableJob live per-table
+        self.root = name
         if not spark.catalog.tableExists(name):
             raise ValueError(
                 f"Iceberg table {name!r} does not exist; create it first"
@@ -102,11 +105,33 @@ class IcebergTable:
         return snaps[-1] if snaps else None
 
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Returns the id of the snapshot THIS call committed — matched
+        by the summary properties (or set difference) among snapshots
+        that appeared during the call, so a concurrent committer landing
+        between our commit and the metadata read cannot be mis-attributed
+        (SnapshotTable.append's contract)."""
+        before = {s["snapshot_id"] for s in self.snapshots()}
         w = df.writeTo(self.name)
         for k, v in (summary or {}).items():
             w = w.option(f"snapshot-property.{k}", str(v))
         w.append()
-        return self.current_snapshot()["snapshot_id"]
+        new = [
+            s for s in self.snapshots() if s["snapshot_id"] not in before
+        ]
+        if summary:
+            want = {k: str(v) for k, v in summary.items()}
+            mine = [
+                s for s in new
+                if all(s["summary"].get(k) == v for k, v in want.items())
+            ]
+            if len(mine) == 1:
+                return mine[0]["snapshot_id"]
+        if len(new) == 1:
+            return new[0]["snapshot_id"]
+        raise RuntimeError(
+            f"cannot attribute the committed snapshot among {len(new)}"
+            " new snapshots; pass a distinguishing summary"
+        )
 
     def read(
         self, spark: SparkSession, snapshot_id: int | None = None
@@ -212,10 +237,18 @@ class ResumableJob:
     def __init__(self, table, job_id: str, lineage_dir: str | None = None):
         self.table = table
         self.job_id = job_id
-        # IcebergTable's root is a catalog name, not a path — such
-        # deployments pass an explicit lineage_dir (any shared filesystem
-        # or object-store prefix); the SnapshotTable default co-locates
-        # lineage with the table.
+        # IcebergTable's root is a catalog name, not a path: deriving a
+        # lineage path from it would silently create a CWD-relative
+        # directory named after the table, and a resume from a different
+        # CWD would find no lineage — refuse instead of guessing.  The
+        # SnapshotTable default co-locates lineage with the table.
+        if lineage_dir is None and getattr(
+            table, "requires_lineage_dir", False
+        ):
+            raise ValueError(
+                "this table has no filesystem root; pass an explicit"
+                " lineage_dir (shared filesystem or object-store prefix)"
+            )
         self.lineage_dir = lineage_dir or os.path.join(table.root, "_lineage")
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.lineage_path = os.path.join(self.lineage_dir, f"{job_id}.json")

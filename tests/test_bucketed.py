@@ -104,8 +104,6 @@ def test_gate_bucketed_join_query_plan_and_values(spark):
         }
         assert got == want
     finally:
-        suffix = "".join(
-            ch for ch in spark.sparkContext.applicationId if ch.isalnum()
-        )
+        suffix = bk.session_suffix(spark)
         spark.sql(f"DROP TABLE IF EXISTS gate_bucketed_orders_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS gate_bucketed_customer_{suffix}")
