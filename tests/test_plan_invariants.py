@@ -97,3 +97,38 @@ def test_temporal_join_single_broadcast_probe(spark):
     # happens before the broadcast exchange)
     point_side = plan.split("BroadcastExchange")[0]
     assert point_side.count("BroadcastHashJoin") == 1
+
+
+def test_tfidf_window_reuses_tf_partitioning(spark):
+    """tfidf_top_terms: tokens are repartitioned by doc_id ONCE; the
+    (doc_id, token) aggregate and the per-doc ranking window both run on
+    that partitioning — no ENSURE_REQUIREMENTS exchange between the tf
+    aggregate and the Window, and the rank<=3 limit is pushed below the
+    sort (WindowGroupLimit)."""
+    import re
+
+    from ionex_spark.plans.queries_data import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(spark, "/root/testdata/sf0.001"))
+    assert "WindowGroupLimit" in plan
+    # the window must sit directly on a REPARTITION_BY_COL exchange, not
+    # on an extra ENSURE_REQUIREMENTS reshuffle of the aggregated tf
+    window_subtree = plan.split("Window ")[1].split("BroadcastExchange")[0]
+    ensure = re.findall(
+        r"Exchange hashpartitioning\(doc_id[^)]*\), ENSURE", window_subtree
+    )
+    assert not ensure, window_subtree[:500]
+
+
+def test_tile_kring_single_aggregate_exchange(spark):
+    """tile_kring_counts: the 3x3 disk explode is a broadcast cross join
+    (offsets side) and the ONLY hash-partitioning Exchange is the final
+    groupBy(ring_cell) rollup."""
+    import re
+
+    from ionex_spark.plans.queries_ref import tile_kring_counts
+
+    plan = _plan(tile_kring_counts(spark, "/root/testdata/sf0.001"))
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan  # the tiny offsets side
