@@ -146,6 +146,28 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_groups_star", oracle=None)  # shares dedup_groups' oracle
+def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_groups through the O(log n) LARGE-STAR/SMALL-STAR contraction
+    (dedup.connected_components_star) instead of min-label propagation —
+    the adversarial-graph escalation (deep duplicate chains): same
+    groups, logarithmic rounds.  Shares dedup_groups' recursive-CTE
+    oracle, so any divergence between the two CC algorithms fails the
+    gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    groups = dd.connected_components_star(docs.select("doc_id"), pairs)
+    return groups.selectExpr(
+        "doc_id", "group_id",
+        "CASE WHEN doc_id = group_id THEN 1 ELSE 0 END as is_keeper",
+    )
+
+
+from ionex_spark.plans.queries import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_groups_star"] = _OR["dedup_groups"]
+
+
 def _duck_simhash_sig() -> str:
     """DuckDB twin of dd.simhash64 (md5 backend): doc_id, band_0..band_3."""
     hash_cols = ", ".join(
