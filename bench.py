@@ -187,10 +187,13 @@ def main() -> None:
             "pip_polygons", "cell_rollup", "tile_kring_counts",
             "roi_filter", "grid_cells_join",
             "grid_merge", "dedup_exact", "dedup_minhash_pairs",
-            "dedup_groups", "dedup_simhash", "dedup_simhash_pairs",
+            "dedup_groups", "dedup_groups_star",
+            "dedup_simhash", "dedup_simhash_pairs",
             "dedup_simhash_pairs_refined",
-            "text_features", "tfidf_top_terms", "skew_salted_rollup",
+            "text_features", "tfidf_top_terms", "corpus_quality_filter",
+            "skew_salted_rollup",
             "stratified_sample", "pack_sequences",
+            "embedding_quantize_int8",
             "domain_blocklist_rollup", "ipp_slant", "bucketed_join_rollup",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
