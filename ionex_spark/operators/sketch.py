@@ -1,0 +1,92 @@
+"""Count-Min sketch — the approximate heavy-hitter / frequency sketch a
+100 TB token pipeline uses when the exact vocabulary count is too large
+to materialize (Cormode & Muthukrishnan 2005).
+
+Shape at scale: the sketch TABLE is depth x width rows (a few KB)
+regardless of corpus size — one explode (depth rows per token
+occurrence) + one groupBy shuffle whose key space is the tiny (d,
+bucket) grid, so map-side combine collapses almost everything before
+the exchange.  Estimation joins the (broadcastable) sketch back to any
+probe set.  Guarantees: estimate >= true count always (overestimate
+only); error <= e*N/width with prob 1-(1/2)^depth.
+
+Hashes reuse the engine's portable md5 kernel (dedup.token_hash_sql), so
+the DuckDB oracle reproduces the sketch bit-for-bit — an UNUSUAL
+property for a sketch, bought by deterministic seeds."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ionex_spark.operators.dedup import token_hash_duckdb_sql, token_hash_sql
+
+SEED0 = 7100  # seed base: keep sketch hashes disjoint from minhash seeds
+
+
+def _bucket_sql(token_expr: str, d: int, width: int, backend: str) -> str:
+    return f"pmod({token_hash_sql(token_expr, SEED0 + d, backend)}, {width})"
+
+
+def bucket_duckdb_sql(token_expr: str, d: int, width: int) -> str:
+    """DuckDB twin of the (depth d) bucket assignment (md5 hashes are
+    non-negative, so plain % == pmod)."""
+    return f"({token_hash_duckdb_sql(token_expr, SEED0 + d)} % {width})"
+
+
+def countmin_sketch(
+    toks: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    token_col: str = "token",
+    backend: str = "md5",
+) -> DataFrame:
+    """Build the sketch from (…, token) OCCURRENCE rows (not deduped).
+    Output: (d, bucket, cnt) — depth*width rows max."""
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('d', {d}, 'bucket',"
+                        f" {_bucket_sql(token_col, d, width, backend)})"
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy("c.d", "c.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    token_col: str = "token",
+    backend: str = "md5",
+) -> DataFrame:
+    """Estimate each probe token's occurrence count: min over depths of
+    its bucket counters.  Probes absent from the corpus may still
+    collide into non-empty buckets (the overestimate guarantee includes
+    them); a bucket missing entirely counts 0."""
+    pb = probes.select(token_col).distinct().select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct('d', {d}, 'bucket',"
+                        f" {_bucket_sql(token_col, d, width, backend)})"
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(token_col, "c.d", "c.bucket")
+    j = pb.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return j.groupBy(token_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
+    )

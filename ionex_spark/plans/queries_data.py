@@ -835,6 +835,68 @@ def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_cms_query() -> str:
+    from ionex_spark.operators import sketch as sk
+
+    depth, width = 4, 256
+    cell_union = " UNION ALL ".join(
+        f"SELECT {d} AS d, {sk.bucket_duckdb_sql('token', d, width)}"
+        " AS bucket FROM toks"
+        for d in range(depth)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT token, true_count, {d} AS d,"
+        f" {sk.bucket_duckdb_sql('token', d, width)} AS bucket FROM probes"
+        for d in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+      AS token FROM documents
+  ) WHERE length(token) > 0
+),
+sketch AS (
+  SELECT d, bucket, count(*) AS cnt FROM ({cell_union}) GROUP BY 1, 2
+),
+counts AS (SELECT token, count(*) AS true_count FROM toks GROUP BY 1),
+probes AS (
+  SELECT token, true_count FROM counts
+  ORDER BY true_count DESC, token LIMIT 20
+),
+est AS (
+  SELECT p.token, p.true_count, min(s.cnt) AS cm_est
+  FROM ({probe_union}) p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+  GROUP BY 1, 2
+)
+SELECT token, true_count, CAST(cm_est AS BIGINT) AS cm_est FROM est
+"""
+
+
+@register("token_countmin_sketch", oracle=_duck_cms_query())
+def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over token occurrences (operators/sketch.py) —
+    the brief's 'novel sketch' custom-operator family: build the
+    depth=4 x width=256 sketch in one combine-friendly shuffle, then
+    estimate the top-20 tokens' counts from it next to their exact
+    counts.  Deterministic md5-seeded hashes make the sketch itself
+    bit-identical in DuckDB; the overestimate invariant (cm_est >=
+    true_count) is asserted in pytest."""
+    from ionex_spark.operators import sketch as sk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = dd.tokens_exploded(docs)  # occurrences, not deduped
+    cms = sk.countmin_sketch(toks, depth=4, width=256)
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    probes = counts.orderBy(F.desc("true_count"), "token").limit(20)
+    est = sk.countmin_estimate(cms, probes, depth=4, width=256)
+    return probes.join(est, "token").selectExpr(
+        "token", "true_count", "cast(cm_est as bigint) as cm_est"
+    )
+
+
 # ------------------------------------------- sampling & sequence packing
 
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}

@@ -477,6 +477,35 @@ def test_simhash_near_dup_pairs_end_to_end(spark):
     assert not any(3 in p for p in out)
 
 
+def test_countmin_overestimate_and_bound(spark):
+    """Count-Min invariants: estimate >= true count for EVERY token
+    (overestimate only), exact for tokens whose buckets don't collide,
+    and absent probe tokens estimate >= 0 without error."""
+    from ionex_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = dd.tokens_exploded(docs)
+    cms = sk.countmin_sketch(toks, depth=4, width=512)
+    counts = toks.groupBy("token").count().withColumnRenamed(
+        "count", "true_count"
+    )
+    est = sk.countmin_estimate(cms, counts, depth=4, width=512)
+    j = counts.join(est, "token").toPandas()
+    assert (j["cm_est"] >= j["true_count"]).all()
+    # total mass check: each depth row sums to the corpus token count
+    n = toks.count()
+    per_depth = cms.groupBy("d").agg({"cnt": "sum"}).withColumnRenamed(
+        "sum(cnt)", "s"
+    ).collect()
+    assert all(r.s == n for r in per_depth)
+    # absent token: estimate is whatever its buckets hold, never negative
+    ghost = spark.createDataFrame(
+        [("zz-not-in-corpus-zz",)], "token string"
+    )
+    g = sk.countmin_estimate(cms, ghost, depth=4, width=512).first()
+    assert g.cm_est >= 0
+
+
 def test_quantize_int8_error_bound(spark):
     """Symmetric int8 quantization: codes in [-127, 127] and per-
     component reconstruction error <= scale/2 (the round-half-up bound),
