@@ -120,6 +120,17 @@ def rolling_hash_sql(s: str, dialect: str = "spark") -> str:
     )
 
 
+# the composed ingest-filter predicate over with_text_features columns —
+# ONE definition shared by the oracled gate query (corpus_quality_filter,
+# both engine and DuckDB sides) and the production spark-submit job
+# (jobs/corpus_pipeline_job.py), so thresholds cannot drift between them
+QUALITY_FILTER_SQL = (
+    "n_tokens BETWEEN 5 AND 100000"
+    " AND quality >= CAST(0.05 AS DOUBLE)"
+    " AND lang_pred = lang"
+)
+
+
 # ------------------------------------------------ sampling & packing ops
 
 def sample_hash_sql(id_expr: str, dialect: str = "spark") -> str:

@@ -111,9 +111,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify(pairs, docs, threshold=0.5)
 
 
-@register(
-    "dedup_groups",
-    oracle=f"""
+_DUCK_GROUPS_SQL = f"""
 WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -127,8 +125,10 @@ r(src, node) AS (
 SELECT src AS doc_id, min(node) AS group_id,
        CASE WHEN src = min(node) THEN 1 ELSE 0 END AS is_keeper
 FROM r GROUP BY src
-""",
-)
+"""
+
+
+@register("dedup_groups", oracle=_DUCK_GROUPS_SQL)
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment — the step after pair detection a real
     pipeline needs: connected components over the verified near-dup pair
@@ -146,7 +146,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_groups_star", oracle=None)  # shares dedup_groups' oracle
+# shares dedup_groups' recursive-CTE oracle: any divergence between the
+# two CC algorithms fails the gate
+@register("dedup_groups_star", oracle=_DUCK_GROUPS_SQL)
 def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_groups through the O(log n) LARGE-STAR/SMALL-STAR contraction
     (dedup.connected_components_star) instead of min-label propagation —
@@ -161,11 +163,6 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "group_id",
         "CASE WHEN doc_id = group_id THEN 1 ELSE 0 END as is_keeper",
     )
-
-
-from ionex_spark.plans.queries import ORACLES as _OR  # noqa: E402
-
-_OR["dedup_groups_star"] = _OR["dedup_groups"]
 
 
 def _duck_simhash_sig() -> str:
@@ -489,9 +486,7 @@ _CENT = "SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_i
 _Q = "SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0"
 
 
-@register(
-    "similarity_ivf",
-    oracle=f"""
+_DUCK_IVF_SQL = f"""
 WITH cent AS ({_CENT}),
 q AS ({_Q}),
 assign AS (
@@ -527,8 +522,10 @@ SELECT query_id, rank, vec_id, list_id, cos_sim FROM (
              ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
-""",
-)
+"""
+
+
+@register("similarity_ivf", oracle=_DUCK_IVF_SQL)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: nearest-centroid list assignment + nprobe=2 probe —
     the brief's 'IVF variant as the scale path'."""
@@ -582,14 +579,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_ivf_bucketed",
-    # identical semantics to similarity_ivf — the POINT: rereading the
-    # lists from a bucketed table must not change a single ANN result,
-    # while per-list scans/aggregates become exchange-free
-    # (tests/test_bucketed.py asserts the plan).
-    oracle=None,  # assigned right below to share similarity_ivf's oracle
-)
+# identical semantics to similarity_ivf — the POINT: rereading the lists
+# from a bucketed table must not change a single ANN result, while
+# per-list scans/aggregates become exchange-free (tests/test_bucketed.py
+# asserts the plan) — hence the SHARED oracle.
+@register("similarity_ivf_bucketed", oracle=_DUCK_IVF_SQL)
 def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the corpus lists WRITTEN BUCKETED by list_id and read
     back from the table — the storage layout the 100 TB deployment uses
@@ -611,13 +605,6 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cast(rank as bigint) as rank",
         "vec_id", "list_id", "cos_sim",
     )
-
-
-# share similarity_ivf's oracle verbatim: the bucketed round trip must be
-# invisible in the results
-from ionex_spark.plans.queries import ORACLES as _ORACLES  # noqa: E402
-
-_ORACLES["similarity_ivf_bucketed"] = _ORACLES["similarity_ivf"]
 
 
 @register(
@@ -968,10 +955,7 @@ WITH feats AS (
   FROM documents
 ),
 kept AS (
-  SELECT * FROM feats
-  WHERE n_tokens BETWEEN 5 AND 100000
-    AND quality >= CAST(0.05 AS DOUBLE)
-    AND lang_pred = lang
+  SELECT * FROM feats WHERE {tx.QUALITY_FILTER_SQL}
 )
 SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
@@ -987,11 +971,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WholeStageCodegen filter over the parquet scan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     feats = tx.with_text_features(docs)
-    kept = feats.filter(
-        "n_tokens BETWEEN 5 AND 100000"
-        " AND quality >= CAST(0.05 AS DOUBLE)"
-        " AND lang_pred = lang"
-    )
+    kept = feats.filter(tx.QUALITY_FILTER_SQL)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("min_doc"),

@@ -35,22 +35,37 @@ def _warehouse_path(spark: SparkSession) -> str | None:
 
 
 def purge_session_tables(
-    spark: SparkSession, prefix: str, keep_suffix: str | None = None
+    spark: SparkSession,
+    prefix: str,
+    keep_suffix: str | None = None,
+    max_age_s: float = 3600.0,
 ) -> None:
     """Remove PRIOR sessions' leftover per-session tables: every local
     warehouse directory starting with ``prefix`` whose name does not end
-    with ``keep_suffix``.  Per-suffix names make concurrent sessions
-    safe but orphan one directory set per run — gate queries call this
-    with their own suffix so the warehouse stays bounded."""
+    with ``keep_suffix`` AND whose mtime is older than ``max_age_s``.
+    Per-suffix names make concurrent sessions safe but orphan one
+    directory set per run — gate queries call this with their own suffix
+    so the warehouse stays bounded.  The age guard is what keeps a LIVE
+    concurrent session's table (minutes old) safe from deletion; only
+    genuinely abandoned directories (an hour-plus) are reclaimed."""
+    import time
+
     root = _warehouse_path(spark)
     if root is None or not os.path.isdir(root):
         return
+    now = time.time()
     for d in os.listdir(root):
         if d.startswith(prefix.lower()) and (
             keep_suffix is None or not d.endswith(keep_suffix.lower())
         ):
+            path = os.path.join(root, d)
+            try:
+                if now - os.path.getmtime(path) < max_age_s:
+                    continue
+            except OSError:
+                continue
             spark.sql(f"DROP TABLE IF EXISTS {d}")
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed(

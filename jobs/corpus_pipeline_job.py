@@ -39,11 +39,7 @@ def build_chunk(spark, docs_path: str, lo: int, hi: int, buckets: int):
     part = f"pmod(xxhash64(md5(text)), {buckets})"
     mine = docs.filter(f"{part} >= {lo} and {part} < {hi}")
     feats = tx.with_text_features(mine)
-    kept = feats.filter(
-        "n_tokens BETWEEN 5 AND 100000"
-        " AND quality >= CAST(0.05 AS DOUBLE)"
-        " AND lang_pred = lang"
-    )
+    kept = feats.filter(tx.QUALITY_FILTER_SQL)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
