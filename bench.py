@@ -195,6 +195,8 @@ def main() -> None:
             "stratified_sample", "pack_sequences",
             "embedding_quantize_int8",
             "domain_blocklist_rollup", "ipp_slant", "bucketed_join_rollup",
+            "range_join_windows", "median_value_by_type",
+            "token_countmin_sketch",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
         ]

@@ -761,6 +761,96 @@ def grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lat_j", "lon_j", "tec")
 
 
+# --------------------------------------------- interval-overlap range join
+
+_WINDOWS_SQL = """
+SELECT w AS win_id, (w * 7000) AS w_start, (w * 7000 + 5400) AS w_end
+FROM (SELECT unnest(range(0, 12)) AS w)
+"""
+
+
+@register(
+    "range_join_windows",
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+win AS ({_WINDOWS_SQL})
+SELECT w.win_id, count(*) AS n_events, min(p.id) AS min_id,
+       max(p.tsec) AS last_tsec
+FROM pts p JOIN win w ON p.tsec >= w.w_start AND p.tsec < w.w_end
+GROUP BY w.win_id
+""",
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic INTERVAL-OVERLAP range join: events against a small table
+    of (possibly overlapping, gapped) time windows — the maintenance-
+    window / campaign-attribution join OLAP engines special-case.  The
+    window table is tiny -> broadcast nested-loop on the range predicate
+    (the point side stays unshuffled); only the per-window rollup
+    exchanges.  Distinct from as-of bracketing (asof_irregular): a point
+    may match MANY windows, or none."""
+    pts = event_points(spark, sf_dir)
+    win = spark.range(12).selectExpr(
+        "id as win_id",
+        "id * 7000 as w_start",
+        "id * 7000 + 5400 as w_end",
+    )
+    j = pts.join(
+        F.broadcast(win),
+        (pts.tsec >= win.w_start) & (pts.tsec < win.w_end),
+        "inner",
+    )
+    return j.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("id").alias("min_id"),
+        F.max("tsec").alias("last_tsec"),
+    )
+
+
+# ----------------------------------------------- exact distributed median
+
+@register(
+    "median_value_by_type",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       cast(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN cast(value as decimal(18,6))
+                     ELSE cast(0.0 as decimal(18,6)) END)
+            as double) / cast(2.0 as double) AS median_value,
+       max(n) AS n
+FROM r GROUP BY event_type
+""",
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed median per group via rank arithmetic: rank the
+    group, pick the middle element (odd n: counted twice; even n: the
+    two middles), sum through DECIMAL, halve — deterministic and
+    bit-identical across engines, unlike percentile()/quantile_cont()
+    whose interpolation order differs.  One window shuffle per group
+    column; ties broken by event_id so ranks are stable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("event_type").agg(
+        F.expr(
+            "cast(sum(CASE WHEN rn IN ((n + 1) div 2, (n + 2) div 2)"
+            " THEN cast(value as decimal(18,6))"
+            " ELSE cast(0.0 as decimal(18,6)) END) as double)"
+            " / cast(2.0 as double)"
+        ).alias("median_value"),
+        F.max("n").alias("n"),
+    )
+
+
 # ------------------------------------------- irregular-axis as-of bracket
 
 _IRREG_EPOCHS = "SELECT (s.s * s.s * 600) AS esec FROM (SELECT unnest(range(0, 13)) AS s) s"
