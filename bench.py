@@ -196,7 +196,8 @@ def main() -> None:
             "embedding_quantize_int8",
             "domain_blocklist_rollup", "ipp_slant", "bucketed_join_rollup",
             "range_join_windows", "median_value_by_type",
-            "token_countmin_sketch",
+            "token_countmin_sketch", "rollup_pricing_levels",
+            "semi_join_active_customers",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
         ]

@@ -332,6 +332,58 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_pricing_levels",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: GROUP BY ROLLUP over (returnflag,
+    linestatus) — per-pair, per-flag subtotal, and grand-total rows in
+    ONE pass (Spark expands grouping sets inside a single shuffle; the
+    alternative of unioning three aggregations scans the fact table
+    three times).  DECIMAL sums keep every level bit-exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(l_quantity as decimal(18,2))) as double)"
+        ).alias("sum_qty"),
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_customers, min(c.c_custkey) AS min_key
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 150000.0)
+GROUP BY c.c_mktsegment
+""",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-SEMI join (EXISTS): customers with at least one high-value
+    order, rolled up per segment.  The semi form never duplicates the
+    left side however many orders match — the dedup-free existence
+    check a naive inner-join + distinct pays a shuffle for."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_totalprice > 150000.0"
+    )
+    kept = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("min_key"),
+    )
+
+
+@register(
     "topk_orders_per_customer",
     oracle="""
 SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
