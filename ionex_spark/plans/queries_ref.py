@@ -874,18 +874,29 @@ SELECT event_type,
        cast(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
                      THEN cast(value as decimal(18,6))
                      ELSE cast(0.0 as decimal(18,6)) END)
-            as double) / cast(2.0 as double) AS median_value,
+            as double)
+         / cast(sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                         THEN 1 ELSE 0 END) as double) AS median_value,
        max(n) AS n
 FROM r GROUP BY event_type
 """,
 )
 def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed median per group via rank arithmetic: rank the
-    group, pick the middle element (odd n: counted twice; even n: the
-    two middles), sum through DECIMAL, halve — deterministic and
+    group, select the middle rank(s) — for odd n the single rank
+    (n+1) div 2 == (n+2) div 2 matches ONE row, for even n the two
+    distinct middle ranks match TWO rows — sum through DECIMAL and
+    divide by the COUNT of matched ranks (1 or 2).  Deterministic and
     bit-identical across engines, unlike percentile()/quantile_cont()
     whose interpolation order differs.  One window shuffle per group
-    column; ties broken by event_id so ranks are stable."""
+    column; ties broken by event_id so ranks are stable.
+
+    Round-3 advice fix: the previous formula divided by a constant 2,
+    which halved the median for odd-sized groups (the single matched
+    middle row was only counted once); dividing by the matched-rank
+    count restores the textbook median for both parities
+    (tests/test_spark_ops.py::test_median_odd_even_groups pins
+    hand-computed medians for a 3-row and a 4-row group)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
@@ -897,7 +908,8 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(CASE WHEN rn IN ((n + 1) div 2, (n + 2) div 2)"
             " THEN cast(value as decimal(18,6))"
             " ELSE cast(0.0 as decimal(18,6)) END) as double)"
-            " / cast(2.0 as double)"
+            " / cast(sum(CASE WHEN rn IN ((n + 1) div 2, (n + 2) div 2)"
+            " THEN 1 ELSE 0 END) as double)"
         ).alias("median_value"),
         F.max("n").alias("n"),
     )

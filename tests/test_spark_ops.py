@@ -690,3 +690,33 @@ def test_unknown_codec_stub_flows_through(spark):
     )
     got = df.withColumn("ok", mm.decodes_ok("bytes", "fmt")).first()
     assert got.ok is False
+
+
+# --------------------------------------------------------- exact median
+
+def test_median_odd_even_groups(spark, tmp_path):
+    """Hand-computed medians: odd group -> middle element, even group ->
+    mean of the two middles (round-3 advice: the old sum/2 formula
+    returned HALF the median for odd groups)."""
+    from ionex_spark.plans.queries_ref import median_value_by_type
+
+    rows = [
+        # odd group: values 1, 2, 3 -> median 2.0
+        (1, "odd", 3.0), (2, "odd", 1.0), (3, "odd", 2.0),
+        # even group: values 10, 20, 30, 40 -> median 25.0
+        (4, "even", 40.0), (5, "even", 10.0), (6, "even", 30.0),
+        (7, "even", 20.0),
+        # singleton group: median is the value itself
+        (8, "one", 7.5),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = (
+        median_value_by_type(spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_type")["median_value"]
+    )
+    assert got["odd"] == 2.0
+    assert got["even"] == 25.0
+    assert got["one"] == 7.5
