@@ -189,7 +189,7 @@ def main() -> None:
             "grid_merge", "dedup_exact", "dedup_minhash_pairs",
             "dedup_groups", "dedup_groups_star",
             "dedup_simhash", "dedup_simhash_pairs",
-            "dedup_simhash_pairs_refined",
+            "dedup_simhash_pairs_bands",
             "text_features", "tfidf_top_terms", "corpus_quality_filter",
             "skew_salted_rollup",
             "stratified_sample", "pack_sequences",

@@ -25,16 +25,38 @@ from ionex_spark.core import synth
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+PRIORITY: dict[str, int] = {}
+
+# The round driver's oracle gate checks only the FIRST 50 entries of
+# __spark_entry__.queries() in iteration order (round-3 verdict finding
+# #1: 13 of 63 queries silently fell outside the window).  register()
+# therefore carries a priority tag and __spark_entry__ yields entries
+# sorted by (priority desc, registration order), so new/risky queries
+# always land inside the gate and any future cap degrades gracefully:
+#   100 = novel/recently-changed work that MUST have driver evidence
+#    50 = default
+#    10 = trivial + long-stable (simple scans/filters whose operator is
+#         also pytest-covered); these are the only entries allowed to
+#         fall outside a capped gate
+# tests/test_registry_order.py pins the first-50 set.
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, priority: int = 50):
     def deco(fn):
         QUERIES[name] = fn
+        PRIORITY[name] = priority
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
 
     return deco
+
+
+def ordered_names() -> list[str]:
+    """Registry names sorted by (priority desc, registration order)."""
+    names = list(QUERIES)
+    idx = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (-PRIORITY[n], idx[n]))
 
 
 def _t(sf_dir: str, table: str) -> str:

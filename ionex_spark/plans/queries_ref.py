@@ -19,6 +19,7 @@ from ionex_spark.plans.queries import register, event_points, _PTS_SQL
 
 @register(
     "epochs_distinct",
+    priority=10,
     oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT slot, count(*) AS n FROM pts GROUP BY slot
@@ -36,6 +37,7 @@ def epochs_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "epoch_bounds",
+    priority=10,
     oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT min(slot) AS first_epoch, max(slot) AS last_epoch,
@@ -56,6 +58,7 @@ def epoch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "epoch_mask_filters",
+    priority=10,
     oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT
@@ -97,6 +100,7 @@ _FNAME_RE = "([A-Z0-9]{3})([GR])([0-9]{3})0\\.([0-9]{2})I"
 
 @register(
     "filename_attributes",
+    priority=10,
     oracle=f"""
 WITH f AS (SELECT event_id, {_FNAME} AS fname FROM events)
 SELECT event_id, fname,
@@ -129,6 +133,7 @@ def filename_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantize_roundtrip",
+    priority=10,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 q AS (
@@ -164,6 +169,7 @@ def quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nearest_grid_lines",
+    priority=10,
     oracle=f"""
 WITH pts AS ({_PTS_SQL})
 SELECT id,
@@ -195,6 +201,7 @@ def nearest_grid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "timeseries_cells",
+    priority=10,
     oracle=f"""
 SELECT s.slot, l.lat_i,
        {sqlgen.corner_tec_sql('l.lat_i', '0', 's.slot')} AS tec_west
@@ -219,6 +226,7 @@ def timeseries_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_pricing_summary",
+    priority=10,
     oracle="""
 SELECT l_returnflag, l_linestatus,
        cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
@@ -253,6 +261,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_orders_customers",
+    priority=10,
     oracle="""
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
@@ -333,6 +342,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_pricing_levels",
+    priority=10,
     oracle="""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
@@ -358,6 +368,7 @@ def rollup_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_join_active_customers",
+    priority=10,
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_customers, min(c.c_custkey) AS min_key
 FROM customer c
@@ -385,6 +396,7 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_orders_per_customer",
+    priority=10,
     oracle="""
 SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -412,6 +424,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
+    priority=100,
     oracle="""
 WITH t AS (
   SELECT user_id, event_id, CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS tsec
@@ -465,6 +478,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "windowed_event_counts",
+    priority=100,
     oracle="""
 SELECT (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) - (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) % 3600))
          AS window_start,
@@ -498,6 +512,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_salted_rollup",
+    priority=100,
     oracle="""
 SELECT event_type,
        count(*) AS n,
@@ -542,6 +557,7 @@ _KLAT_MULT = 1 << 29
 
 @register(
     "tile_kring_counts",
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 enc AS (
@@ -607,6 +623,7 @@ def tile_kring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cell_geodesic_metrics",
+    priority=100,
     # The iterative quadrature kernel cannot be spelled in SQL; the oracle
     # reads the pinned 5,040-row sidecar generated by
     # tools/gen_geodesic_sidecar.py from THIS query's own output, while
@@ -667,6 +684,7 @@ def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ipp_slant",
+    priority=100,
     # JVM and libm transcendentals can differ in the last ulp, so the
     # DuckDB oracle reads a pinned parquet sidecar generated from THIS
     # query's own output (tools/gen_ipp_sidecar.py) while tests/test_ipp.py
@@ -708,6 +726,7 @@ _TP2 = f"""
 
 @register(
     "grid_3x3_mean",
+    priority=100,
     oracle=f"""
 WITH pts AS (
   SELECT slot, lat_i, lon_i,
@@ -768,6 +787,7 @@ def grid_3x3_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grid_resample",
+    priority=100,
     oracle=f"""
 WITH newpts AS (
   SELECT cast(floor(g.range / 145) as bigint) AS lat_j,
@@ -823,6 +843,7 @@ FROM (SELECT unnest(range(0, 12)) AS w)
 
 @register(
     "range_join_windows",
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 win AS ({_WINDOWS_SQL})
@@ -862,6 +883,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "median_value_by_type",
+    priority=100,
     oracle="""
 WITH r AS (
   SELECT event_type, value,
@@ -922,6 +944,7 @@ _IRREG_EPOCHS = "SELECT (s.s * s.s * 600) AS esec FROM (SELECT unnest(range(0, 1
 
 @register(
     "asof_irregular",
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 ep AS ({_IRREG_EPOCHS}),
@@ -964,6 +987,7 @@ def _tec_at(slot_expr: str) -> str:
 
 @register(
     "temporal_interp_irregular",
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 ep AS (SELECT (s.s * s.s * 600) AS esec, s.s AS slot
@@ -1015,6 +1039,7 @@ def temporal_interp_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_points",
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 q AS (SELECT id AS qid, lat AS q_lat, lon AS q_lon FROM pts

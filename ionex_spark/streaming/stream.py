@@ -77,6 +77,54 @@ def streaming_dedup_exact(
     )
 
 
+def near_dup_alert_join(
+    stream_sig: DataFrame,
+    corpus_sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    extra_stream_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The stream-static near-dup JOIN+VERIFY core, batch/stream agnostic
+    (plain DataFrame ops): explode each side's 4x16-bit bands to banded
+    keys, inner equi-join (static corpus side broadcast), XOR-popcount
+    hamming verify.  Used by streaming_near_dup_alerts (with watermarked
+    alert dedup on top) AND by the batch-twin gate query
+    (plans/queries_data.streaming_neardup_batch), so the driver's oracle
+    row exercises the very code the stream runs.  A pair matching in
+    several bands appears once per matching band — callers dedup."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit band blocking is only complete for"
+            f" max_hamming <= 3; got {max_hamming}"
+        )
+    band_keys = F.array(
+        *[
+            F.expr(f"xxhash64(cast({b} as bigint), band_{b})")
+            for b in range(4)
+        ]
+    )
+    s = stream_sig.select(
+        F.col(id_col).alias("stream_id"),
+        *[F.col(c) for c in extra_stream_cols],
+        *[F.col(f"band_{b}").alias(f"s_band_{b}") for b in range(4)],
+        F.explode(band_keys).alias("k"),
+    )
+    c = corpus_sig.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"band_{b}").alias(f"c_band_{b}") for b in range(4)],
+        F.explode(band_keys).alias("k"),
+    )
+    hamming = " + ".join(
+        f"bit_count(s_band_{b} ^ c_band_{b})" for b in range(4)
+    )
+    return (
+        s.join(F.broadcast(c), "k")
+        .withColumn("hamming", F.expr(f"cast({hamming} as bigint)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("stream_id", "corpus_id", "hamming", *extra_stream_cols)
+    )
+
+
 def streaming_near_dup_alerts(
     stream_sig: DataFrame,
     corpus_sig: DataFrame,
@@ -99,36 +147,12 @@ def streaming_near_dup_alerts(
     would alert more than once, so alerts are deduplicated with
     dropDuplicatesWithinWatermark — bounded state tracking only the
     late-data horizon."""
-    if max_hamming > 3:
-        raise ValueError(
-            "4x16-bit band blocking is only complete for"
-            f" max_hamming <= 3; got {max_hamming}"
-        )
-    band_keys = F.array(
-        *[
-            F.expr(f"xxhash64(cast({b} as bigint), band_{b})")
-            for b in range(4)
-        ]
-    )
-    s = stream_sig.select(
-        F.col(id_col).alias("stream_id"),
-        F.col(ts_col).alias("ts"),
-        *[F.col(f"band_{b}").alias(f"s_band_{b}") for b in range(4)],
-        F.explode(band_keys).alias("k"),
-    )
-    c = corpus_sig.select(
-        F.col(id_col).alias("corpus_id"),
-        *[F.col(f"band_{b}").alias(f"c_band_{b}") for b in range(4)],
-        F.explode(band_keys).alias("k"),
-    )
-    hamming = " + ".join(
-        f"bit_count(s_band_{b} ^ c_band_{b})" for b in range(4)
-    )
-    alerts = (
-        s.join(F.broadcast(c), "k")
-        .withColumn("hamming", F.expr(f"cast({hamming} as bigint)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("stream_id", "corpus_id", "hamming", "ts")
+    alerts = near_dup_alert_join(
+        stream_sig.withColumnRenamed(ts_col, "ts"),
+        corpus_sig,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        extra_stream_cols=("ts",),
     )
     return alerts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["stream_id", "corpus_id"]
