@@ -79,6 +79,63 @@ def flagship_tile_assign(spark):
     return rollup
 
 
+N_IONEX_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_IONEX_FILES", "64"))
+IONEX_EPOCHS = 25  # one day at 1h sampling, the reference file shape
+IONEX_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench",
+    f"ionex_{N_IONEX_FILES}x{IONEX_EPOCHS}",
+)
+
+
+def ensure_ionex_files() -> int:
+    """Synthesize N gzip IONEX day files (~CKMG full-grid shape: 25 maps
+    x 71x73 grid ≈ 400 KB text each) for the ingest bench — the Spark
+    twin of the reference's criterion parse bench
+    (/root/reference/benches/parsing.rs:13-27).  One-time, cached under
+    .bench/.  Returns total tec points across the corpus."""
+    import numpy as np
+
+    from ionex_spark.core import synth
+    from ionex_spark.core.ionex_io import IonexHeader, write_ionex_file
+    from ionex_spark.core.linspace import ckmg_grid
+
+    n_pts = N_IONEX_FILES * IONEX_EPOCHS * synth.GRID_NLAT * synth.GRID_NLON
+    if os.path.exists(os.path.join(IONEX_PATH, "_DONE")):
+        return n_pts
+    os.makedirs(IONEX_PATH, exist_ok=True)
+    t0 = time.time()
+    epochs = (
+        synth.EPOCH0 + np.arange(IONEX_EPOCHS) * np.timedelta64(3600, "s")
+    ).astype("datetime64[s]")
+    slot, lat_i, lon_i, _, _, tecu_q = synth.tec_points_arrays(
+        IONEX_EPOCHS, "smooth"
+    )
+    dense = np.full(
+        (IONEX_EPOCHS, synth.GRID_NLAT, synth.GRID_NLON), 9999, np.int64
+    )
+    dense[slot, synth.GRID_NLAT - 1 - lat_i, lon_i] = tecu_q
+    for f in range(N_IONEX_FILES):
+        hdr = IonexHeader(
+            grid=ckmg_grid(),
+            interval_s=synth.SAMPLING_S,
+            epoch_first=synth.EPOCH0,
+            epoch_last=epochs[-1],
+            number_of_maps=IONEX_EPOCHS,
+            exponent=synth.FILE_EXP,
+            comments=[f"synthetic ingest bench file {f}"],
+        )
+        write_ionex_file(
+            os.path.join(IONEX_PATH, f"CKMG{f:03d}0.22I.gz"),
+            hdr, epochs, (dense + f) % 9998,
+        )
+    open(os.path.join(IONEX_PATH, "_DONE"), "w").close()
+    print(
+        f"# generated {N_IONEX_FILES} ionex files in {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return n_pts
+
+
 def ensure_images(spark) -> None:
     if os.path.exists(os.path.join(IMAGES_PATH, "_SUCCESS")):
         return
@@ -270,6 +327,23 @@ def main() -> None:
         extras["bad_payloads"] = int(bad.bad_payload or 0)
         extras["bad_captions"] = int(bad.bad_caption or 0)
 
+    if not ONLY or "ionex_ingest" in ONLY:
+        # parse-throughput tracking for the IONEX ingest path (binaryFile
+        # -> mapInPandas block parser), the Spark twin of the reference's
+        # criterion parsing bench (/root/reference/benches/parsing.rs)
+        n_ionex_pts = ensure_ionex_files()
+
+        def run_ingest():
+            from ionex_spark.sources.ionex_source import read_ionex
+
+            _noop_sink(read_ionex(spark, IONEX_PATH + "/*.gz"))
+
+        timed("ionex_ingest", run_ingest, warm=True)
+        extras["ionex_points_per_sec"] = round(
+            n_ionex_pts / timings["ionex_ingest"], 1
+        )
+        extras["ionex_files"] = N_IONEX_FILES
+
     if os.environ.get("SPARK_GRAFT_BENCH_ANN") == "1":
         from ionex_spark.operators import similarity as sim_ops
 
@@ -293,7 +367,7 @@ def main() -> None:
             lists, qs, cent, k=10, nprobe=2).count())
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    out = {
+    headline = {
         "metric": "spatial_join_tile_assign_headline_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -302,10 +376,19 @@ def main() -> None:
         "cpus": CPUS,
         "flagship_rows": N_FLAGSHIP,
         "runs_per_query": n_runs,
-        "query_spread": spreads,
         **extras,
     }
-    print(json.dumps(out))
+    # full detail (per-query [min,max] spreads) goes to a sidecar file —
+    # round 3 put it on the stdout JSON line, which overflowed the round
+    # driver's output-tail capture and produced a null parsed metric
+    # (BENCH_r03.json); the printed headline stays compact and LAST
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump({**headline, "query_spread": spreads}, fh, indent=1)
+    print(f"# spreads -> {detail_path}", file=sys.stderr)
+    print(json.dumps(headline))
     spark.stop()
 
 

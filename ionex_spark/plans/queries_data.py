@@ -727,9 +727,14 @@ FROM (
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms — the keyword-extraction /
     quality-signal step composing term frequency with the corpus document
-    frequency.  idf is the RATIONAL (n_docs+1)/(df+1) (monotone in the
-    usual log idf) so the score stays transcendental-free and bit-exact
-    across engines (NOTES.md gotcha: no ln/log in oracled paths).
+    frequency.  idf is the RATIONAL (n_docs+1)/(df+1) so the score stays
+    transcendental-free and bit-exact across engines (NOTES.md gotcha: no
+    ln/log in oracled paths).  NOTE: this is a DISTINCT, deterministic
+    ranking — monotonicity of idf does NOT make tf*idf order-equivalent
+    to tf*log(idf) (e.g. tf=1/idf=8 vs tf=4/idf=2 tie rationally while
+    log-idf prefers the latter), so selected top-3 terms can differ from
+    standard log tf-idf; the contract here is reproducibility, not
+    log-tf-idf parity (r3 advice).
 
     Scale shape: tokens are hash-partitioned by doc_id, so the
     (doc_id, token) aggregate runs exchange-free on that partitioning (a

@@ -626,10 +626,13 @@ def tile_kring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=100,
     # The iterative quadrature kernel cannot be spelled in SQL; the oracle
     # reads the pinned 5,040-row sidecar generated by
-    # tools/gen_geodesic_sidecar.py from THIS query's own output, while
-    # tests/test_geodesic.py independently pins the reference golden
-    # constants (src/cell/mod.rs:855-859) so the sidecar cannot silently
-    # drift from reference semantics.
+    # tools/gen_geodesic_sidecar.py from the INDEPENDENT numpy twin
+    # (core/geodesic.py enumerated driver-side, no Spark — the
+    # gen_ipp_sidecar.py pattern), so this gate row compares the Spark
+    # mapInPandas path against a separately-computed answer;
+    # tests/test_geodesic.py additionally pins the reference golden
+    # constants (src/cell/mod.rs:855-859) so neither side can drift from
+    # reference semantics.
     oracle="""
 SELECT lat_i, lon_i, perimeter_m, area_m2
 FROM '/root/repo/ionex_spark/data/geodesic_golden.parquet'

@@ -64,7 +64,13 @@ def purge_session_tables(
                     continue
             except OSError:
                 continue
-            spark.sql(f"DROP TABLE IF EXISTS {d}")
+            # backtick-quote: a stale directory name with a dash/dot is
+            # not a bare SQL identifier; and a malformed name must degrade
+            # to rmtree-only cleanup, not fail the calling gate query
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS `{d}`")
+            except Exception:
+                pass
             shutil.rmtree(path, ignore_errors=True)
 
 
