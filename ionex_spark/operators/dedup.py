@@ -95,13 +95,16 @@ def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingles_duckdb_sql(n: int = 3) -> str:
-    """DuckDB twin of shingles_exploded over `documents` (1-based lists)."""
+def shingles_duckdb_sql(n: int = 3, distinct: bool = True) -> str:
+    """DuckDB twin of shingles_exploded over `documents` (1-based lists).
+    ``distinct=False`` keeps every occurrence (repetition statistics need
+    multiplicity; minhash/jaccard want the distinct set)."""
     joins = " || ' ' || ".join(f"toks[i + {k}]" for k in range(n))
     from ionex_spark.operators.text import ws_norm_sql
 
+    d = "DISTINCT " if distinct else ""
     return f"""
-  SELECT DISTINCT doc_id, token FROM (
+  SELECT {d}doc_id, token FROM (
     SELECT doc_id, unnest(
       CASE WHEN len(toks) >= {n}
            THEN list_transform(range(1, len(toks) - {n - 2}), i -> {joins})

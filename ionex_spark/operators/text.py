@@ -229,3 +229,35 @@ def pack_sequences(
         f"cum_before % {budget_tokens} as seq_offset_tokens",
         "n_tokens",
     )
+
+
+# ------------------------------------------------- repetition statistics
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher-style
+    quality rule 'drop documents dominated by a repeated n-gram'
+    (machine-generated spam, boilerplate, keyword stuffing).
+
+    Output: (doc_id, total_ngrams, max_ngram_count, rep_ratio) with
+    rep_ratio = occurrences of the document's MOST FREQUENT n-gram over
+    all its n-grams.  Shape at 100 TB: shingles stay multiplicity-
+    preserving (dedup.shingles_exploded), the (doc, ngram) count and the
+    per-doc max/sum both partially aggregate map-side and shuffle only
+    on doc-id-derived keys — uniform, skew-free, one logical exchange."""
+    from ionex_spark.operators.dedup import shingles_exploded
+
+    per_ngram = (
+        shingles_exploded(df, id_col, text_col, n=n)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_ngram.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.max("cnt").alias("max_ngram_count"),
+        F.expr(
+            "cast(max(cnt) as double) / cast(sum(cnt) as double)"
+        ).alias("rep_ratio"),
+    )

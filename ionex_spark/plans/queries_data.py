@@ -63,8 +63,11 @@ _DUCK_BANDS = "SELECT doc_id, band, key FROM (" + " UNION ALL ".join(
 ) + ")"
 
 
+# priority 10: signature-only building block of dedup_minhash_pairs (which
+# stays under the gate and exercises this exact code as its first stage)
 @register(
     "dedup_minhash",
+    priority=10,
     oracle=f"WITH mh AS ({_DUCK_MINHASH}) SELECT * FROM mh",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +199,8 @@ SELECT doc_id, {bands} FROM sums
 _DUCK_SIMHASH_SIG = _duck_simhash_sig()
 
 
-@register("dedup_simhash", oracle=_DUCK_SIMHASH_SIG)
+# priority 10: signature-only building block of dedup_simhash_pairs
+@register("dedup_simhash", oracle=_DUCK_SIMHASH_SIG, priority=10)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.simhash64(docs, backend="md5")
@@ -1238,3 +1242,60 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id as first_event_id",
         "tsec as first_tsec", "n_arrivals",
     )
+
+
+# --------------------------------------------- benchmark decontamination
+
+_DUCK_DECONTAM = f"""
+WITH shing AS ({dd.shingles_duckdb_sql(3)}),
+bench AS (SELECT doc_id AS bench_id, token FROM shing WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, s.token, b.bench_id
+  FROM shing s JOIN bench b ON s.token = b.token AND s.doc_id != b.bench_id
+)
+SELECT doc_id, count(DISTINCT token) AS n_shared_shingles,
+       count(DISTINCT bench_id) AS n_bench_docs
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("decontam_bench_overlap", oracle=_DUCK_DECONTAM, priority=100)
+def decontam_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag every corpus document sharing a
+    word-trigram shingle with the held-out eval set (docs with
+    doc_id % 97 == 0 stand in for the benchmark; self-matches excluded)
+    — the n-gram-overlap hygiene step every LLM training pipeline runs
+    before training (operators/decontam.contamination_hits).  The
+    benchmark shingle index is broadcast, so the 100 TB corpus side
+    never shuffles for the join; only the per-doc rollup exchanges."""
+    from ionex_spark.operators.decontam import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter("doc_id % 97 = 0").selectExpr(
+        "doc_id as bench_id", "text"
+    )
+    return contamination_hits(docs, bench, n=3)
+
+
+# ------------------------------------------------ n-gram repetition ratio
+
+_DUCK_REPETITION = f"""
+WITH shing AS ({dd.shingles_duckdb_sql(2, distinct=False)}),
+cnt AS (SELECT doc_id, token, count(*) AS cnt FROM shing GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       max(cnt) AS max_ngram_count,
+       cast(max(cnt) as double) / cast(sum(cnt) as double) AS rep_ratio
+FROM cnt GROUP BY doc_id
+"""
+
+
+@register("repetition_ngrams", oracle=_DUCK_REPETITION, priority=100)
+def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram REPETITION ratio (share of the most frequent
+    n-gram) — the Gopher-style 'repeated n-gram' quality rule catching
+    machine-generated spam and boilerplate (operators/text.
+    repetition_stats).  Complements the length/punct/stopword scores in
+    text_features with a structural redundancy signal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.repetition_stats(docs, n=2)

@@ -720,3 +720,46 @@ def test_median_odd_even_groups(spark, tmp_path):
     assert got["odd"] == 2.0
     assert got["even"] == 25.0
     assert got["one"] == 7.5
+
+
+# ---------------------------------------- decontamination + repetition
+
+def test_repetition_stats_hand_computed(spark):
+    from ionex_spark.operators import text as tx2
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z")],
+        "doc_id bigint, text string",
+    )
+    got = tx2.repetition_stats(docs, n=2).toPandas().set_index("doc_id")
+    # doc 1 bigrams: "a b" x3, "b a" x2 -> total 5, max 3
+    assert got.loc[1, "total_ngrams"] == 5
+    assert got.loc[1, "max_ngram_count"] == 3
+    assert got.loc[1, "rep_ratio"] == 0.6
+    # doc 2: 3 distinct bigrams, all unique
+    assert got.loc[2, "total_ngrams"] == 3
+    assert got.loc[2, "rep_ratio"] == pytest.approx(1 / 3)
+
+
+def test_contamination_hits_planted(spark):
+    from ionex_spark.operators.decontam import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all"),
+            (3, "quick brown fox appears here too somehow"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox jumps today")],
+        "bench_id bigint, text string",
+    )
+    got = contamination_hits(corpus, bench, n=3).toPandas().set_index("doc_id")
+    # docs 1 and 3 share trigrams ("quick brown fox", ...), doc 2 is clean
+    assert set(got.index) == {1, 3}
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert got.loc[1, "n_shared_shingles"] == 3
+    assert got.loc[3, "n_shared_shingles"] == 1
+    assert (got["n_bench_docs"] == 1).all()
