@@ -253,6 +253,9 @@ def main() -> None:
             "embedding_quantize_int8",
             "domain_blocklist_rollup", "ipp_slant", "bucketed_join_rollup",
             "range_join_windows", "median_value_by_type",
+            "decontam_bench_overlap", "repetition_ngrams",
+            "tile_polyfill", "radius_search_sites",
+            "streaming_neardup_batch", "streaming_dedup_batch",
             "token_countmin_sketch", "rollup_pricing_levels",
             "semi_join_active_customers",
             "similarity_topk", "similarity_lsh_ann",

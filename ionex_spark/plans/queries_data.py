@@ -413,8 +413,10 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# priority 10: probe-widening variant; the base LSH ANN query stays gated
 @register(
     "similarity_lsh_multiprobe",
+    priority=10,
     oracle=f"""
 WITH c AS (
   SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
@@ -592,7 +594,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from a bucketed table must not change a single ANN result, while
 # per-list scans/aggregates become exchange-free (tests/test_bucketed.py
 # asserts the plan) — hence the SHARED oracle.
-@register("similarity_ivf_bucketed", oracle=_DUCK_IVF_SQL)
+# priority 10: bucketed-write variant sharing similarity_ivf's oracle
+@register("similarity_ivf_bucketed", oracle=_DUCK_IVF_SQL, priority=10)
 def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the corpus lists WRITTEN BUCKETED by list_id and read
     back from the table — the storage layout the 100 TB deployment uses

@@ -1078,3 +1078,121 @@ def knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.selectExpr(
         "qid", "cast(rank as bigint) as rank", "cid", "dist2"
     )
+
+
+# --------------------------------------------- polygon polyfill (vector->raster)
+
+_PF_RES = 6
+_PF_NLAT = 1 << _PF_RES
+_PF_NLON = 1 << (_PF_RES + 1)
+_PF_STEP = 180.0 / _PF_NLAT  # 2.8125, exact in binary
+
+
+def _pf_center_lat(lat_i: str) -> str:
+    return f"({D(-90.0)} + (({lat_i}) + {D(0.5)}) * {D(_PF_STEP)})"
+
+
+def _pf_center_lon(lon_i: str) -> str:
+    return f"({D(-180.0)} + (({lon_i}) + {D(0.5)}) * {D(_PF_STEP)})"
+
+
+def _polyfill_oracle() -> str:
+    from ionex_spark.operators import pip as pip_ops
+    from ionex_spark.plans.queries import _polygon_edges_values
+
+    return f"""
+WITH cells AS (
+  SELECT cast(floor(g.range / {_PF_NLON}) as bigint) AS lat_i,
+         (g.range % {_PF_NLON}) AS lon_i
+  FROM range({_PF_NLAT * _PF_NLON}) g
+),
+ctr AS (
+  SELECT cast({_PF_RES} * {1 << 58} + lat_i * {1 << 29} + lon_i as bigint)
+           AS cell6,
+         {_pf_center_lat('lat_i')} AS lat_c,
+         {_pf_center_lon('lon_i')} AS lon_c
+  FROM cells
+),
+hits AS (
+  SELECT cell6, lat_c, lon_c, poly_id, count(*) AS crossings
+  FROM ctr JOIN {_polygon_edges_values()}
+    ON {pip_ops.CROSSING_COND.format(px='lon_c', py='lat_c')}
+  GROUP BY cell6, lat_c, lon_c, poly_id
+)
+SELECT poly_id, cell6, lat_c, lon_c FROM hits WHERE crossings % 2 = 1
+"""
+
+
+@register("tile_polyfill", oracle=_polyfill_oracle(), priority=100)
+def tile_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon POLYFILL (H3 polyfill analog): the set of res-6 hierarchical
+    tiles whose CENTER falls inside each fixture polygon — the
+    vector->raster direction of the north_star's raster<->vector tile
+    assignment (points->tiles being the raster->vector direction).
+    Center-containment semantics match H3's polyfill contract.  Shape:
+    the tile dimension is an arithmetic range (no input scan), the edge
+    table is broadcast, PIP is the same edge-crossing join the point
+    query uses (operators/pip.pip_edges_join) — at a finer resolution the
+    range just grows and partitions evenly; no shuffle except the parity
+    rollup keyed by (cell, polygon)."""
+    from ionex_spark.core import synth
+    from ionex_spark.operators import pip as pip_ops
+
+    cells = spark.range(_PF_NLAT * _PF_NLON).selectExpr(
+        f"cast(floor(id / {_PF_NLON}) as bigint) as lat_i",
+        f"id % {_PF_NLON} as lon_i",
+    ).selectExpr(
+        f"cast({_PF_RES} * {1 << 58} + lat_i * {1 << 29} + lon_i as bigint)"
+        " as cell6",
+        f"{_pf_center_lat('lat_i')} as lat_c",
+        f"{_pf_center_lon('lon_i')} as lon_c",
+    )
+    edges = pip_ops.edges_df(spark, synth.polygon_rings())
+    inside = pip_ops.pip_edges_join(
+        cells, edges, id_col="cell6", x="lon_c", y="lat_c"
+    )
+    # decode centers back from the tile id (arithmetic, no rejoin)
+    return inside.selectExpr(
+        "poly_id",
+        "cell6",
+        f"{_pf_center_lat(f'(cell6 % {1 << 58}) div {1 << 29}')} as lat_c",
+        f"{_pf_center_lon(f'cell6 % {1 << 29}')} as lon_c",
+    )
+
+
+# ------------------------------------------------ haversine radius search
+
+@register(
+    "radius_search_sites",
+    priority=100,
+    # JVM and libm transcendentals differ in the last ulp, so the DuckDB
+    # oracle reads a pinned sidecar generated from this query's output
+    # (tools/gen_radius_sidecar.py) while tests/test_geo.py independently
+    # verifies counts EXACTLY and distances allclose against a numpy
+    # brute force with NO latitude-band prefilter — proving the band
+    # prefilter loses no hits (the ipp_slant evidence pattern).
+    oracle="""
+SELECT qid, n_within, nearest_id, nearest_km
+FROM '/root/repo/ionex_spark/data/radius_golden.parquet'
+""",
+)
+def radius_search_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle RADIUS SEARCH: every corpus point within 500 km of
+    each site (every 97th point), rolled up per site with the nearest
+    neighbor (operators/geo.radius_search).  The geodesic counterpart of
+    knn_points' planar filter-refine: provably-safe latitude-band
+    prefilter inside a broadcast join, exact haversine on survivors.
+    The point corpus is a FIXED 20k-row synthetic sweep (sf-independent:
+    the pinned sidecar oracle must not depend on which sf the gate runs
+    at), using the same id->lat/lon map as the event tables."""
+    from ionex_spark.operators import geo
+
+    pts = spark.range(20000).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+    sites = pts.filter("id % 97 = 0").selectExpr(
+        "id as qid", "lat as q_lat", "lon as q_lon"
+    )
+    return geo.radius_search(pts, sites, radius_km=500.0)
