@@ -335,3 +335,60 @@ def temporal_spatial_join_irregular(
     return j.withColumn(
         out, F.expr(f"(1.0 - w1) * {tec0} + w1 * {tec1}")
     ).drop("sw0", "se0", "nw0", "ne0", "sw1", "se1", "nw1", "ne1")
+
+
+def gap_fill_series(
+    sparse: DataFrame,
+    n_slots: int,
+    keys: list[str],
+    slot_col: str = "slot",
+    value_col: str = "tecu",
+) -> DataFrame:
+    """Fill missing slots of a per-key time series by LINEAR interpolation
+    between the nearest present bracketing slots — the reference's
+    epoch-bracketed temporal interpolation (src/lib.rs:1123-1137,
+    src/cell/mod.rs:799-830) applied to series repair.  Leading/trailing
+    gaps (no bracket on one side) stay absent.
+
+    Output: keys + (slot, value_col, was_gap) for every slot that is
+    present or fillable.  Shape at 100 TB: the dense axis is an
+    arithmetic sequence EXPLODED per key (no join against a slot table),
+    and both ignore-nulls window scans run in the SAME per-key window
+    partitioning — one exchange keyed by the (uniform) series key, then
+    narrow arithmetic."""
+    keyexpr = ", ".join(keys)
+    dense = (
+        sparse.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .selectExpr(
+            *keys, f"explode(sequence(0, {n_slots - 1})) as {slot_col}"
+        )
+    )
+    full = dense.join(sparse, [*keys, slot_col], "left")
+    w = f"partition by {keyexpr} order by {slot_col}"
+    filled = full.selectExpr(
+        *keys,
+        slot_col,
+        value_col,
+        f"last({value_col}, true) over ({w} rows between unbounded"
+        f" preceding and current row) as _v0",
+        f"last(case when {value_col} is not null then {slot_col} end, true)"
+        f" over ({w} rows between unbounded preceding and current row)"
+        " as _s0",
+        f"first({value_col}, true) over ({w} rows between current row"
+        " and unbounded following) as _v1",
+        f"first(case when {value_col} is not null then {slot_col} end, true)"
+        f" over ({w} rows between current row and unbounded following)"
+        " as _s1",
+    )
+    return filled.selectExpr(
+        *keys,
+        slot_col,
+        f"""case when {value_col} is not null then cast({value_col} as double)
+             else _v0 + (_v1 - _v0)
+                  * (cast({slot_col} - _s0 as double)
+                     / cast(_s1 - _s0 as double))
+            end as {value_col}_filled""",
+        f"cast(case when {value_col} is null then 1 else 0 end as int)"
+        " as was_gap",
+    ).filter(f"{value_col}_filled is not null")

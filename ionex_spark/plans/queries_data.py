@@ -131,7 +131,9 @@ FROM r GROUP BY src
 """
 
 
-@register("dedup_groups", oracle=_DUCK_GROUPS_SQL)
+# priority 10: min-label CC variant; dedup_groups_star (the O(log n)
+# 100 TB default) stays gated and shares this oracle
+@register("dedup_groups", oracle=_DUCK_GROUPS_SQL, priority=10)
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment — the step after pair detection a real
     pipeline needs: connected components over the verified near-dup pair

@@ -1196,3 +1196,83 @@ def radius_search_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id as qid", "lat as q_lat", "lon as q_lon"
     )
     return geo.radius_search(pts, sites, radius_km=500.0)
+
+
+# ------------------------------------------------ epoch gap filling
+
+_GF_GAP = "(slot * 31 + lat_i * 7 + lon_i * 13) % 5 = 0"
+
+_GF_SPARSE = f"""
+  SELECT cast(floor(g.range / {GRID.nlat * GRID.nlon}) as bigint) AS slot,
+         cast(floor((g.range % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) AS lat_i,
+         (g.range % {GRID.nlon}) AS lon_i
+  FROM range({GRID.n_slots * GRID.nlat * GRID.nlon}) g
+"""
+
+
+def _gapfill_oracle() -> str:
+    wp = "PARTITION BY lat_i, lon_i ORDER BY slot"
+    back = f"{wp} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    fwd = f"{wp} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    return f"""
+WITH sparse AS (
+  SELECT slot, lat_i, lon_i,
+         {sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} AS tecu
+  FROM ({_GF_SPARSE}) WHERE NOT ({_GF_GAP})
+),
+keys AS (SELECT DISTINCT lat_i, lon_i FROM sparse),
+dense AS (
+  SELECT k.lat_i, k.lon_i, s.slot
+  FROM keys k CROSS JOIN
+       (SELECT unnest(range(0, {GRID.n_slots})) AS slot) s
+),
+f AS (
+  SELECT d.lat_i, d.lon_i, d.slot, sp.tecu
+  FROM dense d LEFT JOIN sparse sp
+    ON sp.lat_i = d.lat_i AND sp.lon_i = d.lon_i AND sp.slot = d.slot
+),
+w AS (
+  SELECT lat_i, lon_i, slot, tecu,
+    last_value(tecu IGNORE NULLS) OVER ({back}) AS _v0,
+    last_value(CASE WHEN tecu IS NOT NULL THEN slot END IGNORE NULLS)
+      OVER ({back}) AS _s0,
+    first_value(tecu IGNORE NULLS) OVER ({fwd}) AS _v1,
+    first_value(CASE WHEN tecu IS NOT NULL THEN slot END IGNORE NULLS)
+      OVER ({fwd}) AS _s1
+  FROM f
+)
+SELECT lat_i, lon_i, slot,
+  CASE WHEN tecu IS NOT NULL THEN cast(tecu as double)
+       ELSE _v0 + (_v1 - _v0) * (cast(slot - _s0 as double)
+                                 / cast(_s1 - _s0 as double)) END
+    AS tecu_filled,
+  CAST(CASE WHEN tecu IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+FROM w
+WHERE tecu IS NOT NULL OR (_v0 IS NOT NULL AND _v1 IS NOT NULL)
+"""
+
+
+@register("gap_fill_epochs", oracle=_gapfill_oracle(), priority=100)
+def gap_fill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch GAP FILLING: a per-cell TEC time series with ~20% of slots
+    deterministically knocked out is repaired by linear interpolation
+    between the nearest present bracketing epochs
+    (operators/spatial.gap_fill_series) — the reference's temporal
+    interpolation kernel applied to series repair; leading/trailing gaps
+    stay absent.  One window exchange keyed by the (uniform) cell key;
+    the dense axis is exploded arithmetically, never joined."""
+    from ionex_spark.operators import spatial
+
+    n = GRID.n_slots * GRID.nlat * GRID.nlon
+    sparse = spark.range(n).selectExpr(
+        f"cast(floor(id / {GRID.nlat * GRID.nlon}) as bigint) as slot",
+        f"cast(floor((id % {GRID.nlat * GRID.nlon}) / {GRID.nlon}) as bigint) as lat_i",
+        f"id % {GRID.nlon} as lon_i",
+    ).filter(f"not ({_GF_GAP})").selectExpr(
+        "slot", "lat_i", "lon_i",
+        f"{sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot')} as tecu",
+    )
+    out = spatial.gap_fill_series(
+        sparse, GRID.n_slots, keys=["lat_i", "lon_i"]
+    )
+    return out.select("lat_i", "lon_i", "slot", "tecu_filled", "was_gap")

@@ -207,3 +207,36 @@ def test_temporal_irregular_boundary_and_midpoint(spark):
     assert out[0].tec == aligned[0]
     assert out[1].tec == aligned[1]
     assert out[2].tec == 0.5 * aligned[0] + 0.5 * aligned[4]
+
+
+# ------------------------------------------------------- gap filling
+
+def test_gap_fill_series_hand_computed(spark):
+    from ionex_spark.operators.spatial import gap_fill_series
+
+    # key A: values at slots 1,4 (leading gap 0; interior gaps 2,3 filled
+    # by interpolation; trailing gap absent with n_slots=5)
+    # key B: full series, passes through unchanged
+    sparse = spark.createDataFrame(
+        [
+            ("A", 1, 10.0), ("A", 4, 40.0),
+            ("B", 0, 1.0), ("B", 1, 2.0), ("B", 2, 3.0),
+            ("B", 3, 4.0), ("B", 4, 5.0),
+        ],
+        "k string, slot int, tecu double",
+    )
+    got = (
+        gap_fill_series(sparse, 5, keys=["k"])
+        .toPandas()
+        .set_index(["k", "slot"])
+        .sort_index()
+    )
+    a = got.loc["A"]
+    # leading slot 0 has no left bracket -> absent
+    assert list(a.index) == [1, 2, 3, 4]
+    assert a.loc[2, "tecu_filled"] == 20.0
+    assert a.loc[3, "tecu_filled"] == 30.0
+    assert a.loc[2, "was_gap"] == 1 and a.loc[1, "was_gap"] == 0
+    b = got.loc["B"]
+    assert list(b["tecu_filled"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert (b["was_gap"] == 0).all()
