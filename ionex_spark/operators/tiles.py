@@ -1,0 +1,112 @@
+"""Hierarchical-tile set algebra: Morton (Z-order) encoding and
+cell-set compaction — the layout/compression layer of the tile system.
+
+Morton keys: interleaving the (lat_i, lon_i) bits makes spatially-near
+tiles numerically near, so SORTING/bucketing the 100 TB table by z-key
+clusters each region into few files — parquet min/max row-group pruning
+then turns an ROI filter into a near-contiguous scan instead of a full
+sweep (the Delta/Iceberg Z-ORDER optimization, expressed as a plain
+column).  Pure integer arithmetic, shared verbatim with the DuckDB
+oracle.
+
+Compaction (H3 compact/uncompact analog): replace every complete
+4-child group by its parent, recursively — polygon covers shrink ~4x
+per full level, which at 10^12 rows turns broadcastable cover sets from
+megabytes into kilobytes.  One groupBy + one broadcast anti/semi join
+per level; levels are bounded (res <= 10ish), so the loop is O(res)
+rounds of narrow shuffles on uniform keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def morton_sql(lat_i: str, lon_i: str, bits: int = 7) -> str:
+    """Z-order (Morton) interleave of two non-negative integer grid
+    indices: lon bit b -> position 2b, lat bit b -> position 2b+1.
+    floor-division spelling is portable Spark/DuckDB (both promote
+    integer `/` to float; floor + cast recovers the integer bit)."""
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"(cast(floor(({lat_i}) / {1 << b}) as bigint) % 2)"
+            f" * {1 << (2 * b + 1)}"
+        )
+        terms.append(
+            f"(cast(floor(({lon_i}) / {1 << b}) as bigint) % 2)"
+            f" * {1 << (2 * b)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def compact_cells(
+    cells: DataFrame,
+    res_from: int,
+    res_to: int,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """H3-style COMPACT: given a set of distinct tiles at ``res_from``
+    (columns lat_col, lon_col), return the minimal mixed-resolution
+    cover (res, lat_i, lon_i): every complete 2x2 child group is
+    replaced by its parent, applied recursively down to ``res_to``.
+
+    uncompact_cells() inverts it exactly (pytest-pinned round trip)."""
+    out = None
+    cur = cells.select(
+        F.col(lat_col).alias("lat_i"), F.col(lon_col).alias("lon_i")
+    ).dropDuplicates(["lat_i", "lon_i"])
+    for res in range(res_from, res_to, -1):
+        parents = (
+            cur.selectExpr(
+                "cast(floor(lat_i / 2) as bigint) as p_lat",
+                "cast(floor(lon_i / 2) as bigint) as p_lon",
+            )
+            .groupBy("p_lat", "p_lon")
+            .agg(F.count(F.lit(1)).alias("n_children"))
+        )
+        full = parents.filter("n_children = 4").select("p_lat", "p_lon")
+        rem = cur.join(
+            full.withColumnRenamed("p_lat", "j_lat").withColumnRenamed(
+                "p_lon", "j_lon"
+            ),
+            (F.expr("cast(floor(lat_i / 2) as bigint)") == F.col("j_lat"))
+            & (F.expr("cast(floor(lon_i / 2) as bigint)") == F.col("j_lon")),
+            "left_anti",
+        ).selectExpr(f"{res} as res", "lat_i", "lon_i")
+        out = rem if out is None else out.unionByName(rem)
+        cur = full.selectExpr("p_lat as lat_i", "p_lon as lon_i")
+    final = cur.selectExpr(f"{res_to} as res", "lat_i", "lon_i")
+    return final if out is None else out.unionByName(final)
+
+
+def uncompact_cells(
+    compacted: DataFrame, res_to: int, min_res: int
+) -> DataFrame:
+    """Inverse of compact_cells: explode every cell back to its
+    ``res_to`` descendants (4^(res_to - res) children each).  One
+    arithmetic double-explode per resolution level present — levels are
+    bounded and known (min_res..res_to), so the plan is a small union of
+    narrow projections."""
+    parts = []
+    for r in range(min_res, res_to + 1):
+        f = 1 << (res_to - r)
+        parts.append(
+            compacted.filter(f"res = {r}")
+            .selectExpr(
+                "lat_i", "lon_i", f"explode(sequence(0, {f - 1})) as di"
+            )
+            .selectExpr(
+                "lat_i", "lon_i", "di",
+                f"explode(sequence(0, {f - 1})) as dj",
+            )
+            .selectExpr(
+                f"lat_i * {f} + di as lat_i",
+                f"lon_i * {f} + dj as lon_i",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["lat_i", "lon_i"])

@@ -553,8 +553,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# priority 10: narrow arithmetic op; error bound pinned by pytest
 @register(
     "embedding_quantize_int8",
+    priority=10,
     oracle=f"""
 WITH s AS (
   SELECT vec_id, embedding,
@@ -881,7 +883,8 @@ SELECT token, true_count, CAST(cm_est AS BIGINT) AS cm_est FROM est
 """
 
 
-@register("token_countmin_sketch", oracle=_duck_cms_query())
+# priority 10: overestimate invariant pinned by pytest
+@register("token_countmin_sketch", oracle=_duck_cms_query(), priority=10)
 def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over token occurrences (operators/sketch.py) —
     the brief's 'novel sketch' custom-operator family: build the

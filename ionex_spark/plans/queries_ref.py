@@ -1276,3 +1276,129 @@ def gap_fill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse, GRID.n_slots, keys=["lat_i", "lon_i"]
     )
     return out.select("lat_i", "lon_i", "slot", "tecu_filled", "was_gap")
+
+
+# --------------------------------------------- Z-order (Morton) layout key
+
+def _zorder_oracle() -> str:
+    from ionex_spark.operators.tiles import morton_sql
+
+    z = morton_sql(
+        sqlgen.lat_idx_sql("lat"), sqlgen.lon_idx_sql("lon"), bits=7
+    )
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+enc AS (SELECT id, {z} AS zkey FROM pts)
+SELECT cast(floor(zkey / 256) as bigint) AS zblock,
+       count(*) AS n_points,
+       count(DISTINCT zkey) AS n_cells,
+       min(zkey) AS z_min,
+       max(zkey) AS z_max
+FROM enc GROUP BY 1
+"""
+
+
+@register("zorder_blocks", oracle=_zorder_oracle(), priority=100)
+def zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout audit: encode every point's grid cell as a Morton
+    key (operators/tiles.morton_sql — bit-interleaved lat_i/lon_i) and
+    roll up per 256-key block: row count, distinct cells, z span.  The
+    clustering key behind Delta/Iceberg Z-ORDER: sorting the 100 TB
+    table by z co-locates spatial neighbors into the same files, so
+    parquet min/max row-group pruning turns an ROI filter into a
+    near-contiguous scan.  Pure integer arithmetic shared verbatim with
+    the oracle."""
+    from ionex_spark.operators.tiles import morton_sql
+
+    pts = event_points(spark, sf_dir)
+    z = morton_sql(
+        sqlgen.lat_idx_sql("lat"), sqlgen.lon_idx_sql("lon"), bits=7
+    )
+    enc = pts.selectExpr("id", f"{z} as zkey")
+    return (
+        enc.selectExpr("cast(floor(zkey / 256) as bigint) as zblock", "zkey")
+        .groupBy("zblock")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("zkey").alias("n_cells"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )
+
+
+# ------------------------------------------------- tile-cover compaction
+
+def _pf_cells_sql(polys: tuple[str, ...]) -> str:
+    """Polyfill cell set (DISTINCT lat_i, lon_i at res 6) for the given
+    fixture polygons — the compact oracle's input CTE body."""
+    from ionex_spark.operators import pip as pip_ops
+    from ionex_spark.plans.queries import _polygon_edges_values
+
+    plist = ", ".join(f"'{p}'" for p in polys)
+    return f"""
+  SELECT DISTINCT lat_i, lon_i FROM (
+    SELECT c.lat_i, c.lon_i, edges.poly_id, count(*) AS crossings
+    FROM (
+      SELECT cast(floor(g.range / {_PF_NLON}) as bigint) AS lat_i,
+             (g.range % {_PF_NLON}) AS lon_i,
+             {_pf_center_lat(f'cast(floor(g.range / {_PF_NLON}) as bigint)')} AS lat_c,
+             {_pf_center_lon(f'(g.range % {_PF_NLON})')} AS lon_c
+      FROM range({_PF_NLAT * _PF_NLON}) g
+    ) c
+    JOIN {_polygon_edges_values()}
+      ON {pip_ops.CROSSING_COND.format(px='c.lon_c', py='c.lat_c')}
+    WHERE poly_id IN ({plist})
+    GROUP BY c.lat_i, c.lon_i, edges.poly_id
+  ) h WHERE crossings % 2 = 1
+"""
+
+
+def _compact_oracle() -> str:
+    def lvl(cin: str, res: int) -> str:
+        return f"""
+p{res} AS (
+  SELECT cast(floor(lat_i / 2.0) as bigint) AS pl,
+         cast(floor(lon_i / 2.0) as bigint) AS pn, count(*) AS n
+  FROM {cin} GROUP BY 1, 2
+),
+full{res} AS (SELECT pl, pn FROM p{res} WHERE n = 4),
+rem{res + 1} AS (
+  SELECT c.lat_i, c.lon_i FROM {cin} c
+  LEFT JOIN full{res} f
+    ON f.pl = cast(floor(c.lat_i / 2.0) as bigint)
+   AND f.pn = cast(floor(c.lon_i / 2.0) as bigint)
+  WHERE f.pl IS NULL
+),
+c{res} AS (SELECT pl AS lat_i, pn AS lon_i FROM full{res})"""
+
+    return f"""
+WITH c6 AS ({_pf_cells_sql(('roi_rect', 'concave'))}),
+{lvl('c6', 5)},
+{lvl('c5', 4)}
+SELECT 6 AS res, lat_i, lon_i FROM rem6
+UNION ALL SELECT 5 AS res, lat_i, lon_i FROM rem5
+UNION ALL SELECT 4 AS res, lat_i, lon_i FROM c4
+"""
+
+
+@register("tile_compact", oracle=_compact_oracle(), priority=100)
+def tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style COMPACT of a polygon tile cover: the res-6 polyfill of
+    the rect + concave fixture polygons, with every complete 2x2 child
+    group replaced by its parent recursively down to res 4
+    (operators/tiles.compact_cells) — the minimal mixed-resolution
+    cover.  At 10^12 rows this is what keeps polygon covers broadcast-
+    small (a country cover shrinks ~4x per full level).
+    tests/test_spark_ops.py pins compact->uncompact == original."""
+    from ionex_spark.operators import tiles
+
+    pf = tile_polyfill(spark, sf_dir).filter(
+        "poly_id in ('roi_rect', 'concave')"
+    )
+    cells6 = pf.selectExpr(
+        f"(cell6 % {1 << 58}) div {1 << 29} as lat_i",
+        f"cell6 % {1 << 29} as lon_i",
+    ).dropDuplicates(["lat_i", "lon_i"])
+    comp = tiles.compact_cells(cells6, 6, 4)
+    return comp.selectExpr("res", "lat_i", "lon_i")

@@ -763,3 +763,42 @@ def test_contamination_hits_planted(spark):
     assert got.loc[1, "n_shared_shingles"] == 3
     assert got.loc[3, "n_shared_shingles"] == 1
     assert (got["n_bench_docs"] == 1).all()
+
+
+# --------------------------------------------- tile compaction / z-order
+
+def test_compact_uncompact_roundtrip(spark):
+    from ionex_spark.operators import tiles
+
+    # a ragged blob: 6x6 block (compacts fully to res-4 + res-5 pieces)
+    # plus a lone cell and an L-shaped remainder
+    cells = [(la, lo) for la in range(8, 14) for lo in range(20, 26)]
+    cells += [(40, 100), (0, 0), (0, 1), (1, 0)]
+    df = spark.createDataFrame(cells, "lat_i bigint, lon_i bigint")
+    comp = tiles.compact_cells(df, 6, 4).cache()
+    got = comp.toPandas()
+    # compaction must shrink the 40-cell set and produce mixed levels
+    assert len(got) < len(cells)
+    assert set(got["res"]).issuperset({6})
+    # exact inverse
+    back = tiles.uncompact_cells(comp, 6, 4).toPandas()
+    assert set(zip(back["lat_i"], back["lon_i"])) == set(cells)
+    # no cell may be covered twice (distinct parents/children)
+    assert not back.duplicated(["lat_i", "lon_i"]).any()
+
+
+def test_morton_key_locality(spark):
+    from ionex_spark.operators.tiles import morton_sql
+
+    df = spark.range(64).selectExpr(
+        "cast(floor(id / 8) as bigint) as lat_i", "id % 8 as lon_i"
+    ).selectExpr(
+        "lat_i", "lon_i", f"{morton_sql('lat_i', 'lon_i', 3)} as z"
+    ).toPandas()
+    z = df.set_index(["lat_i", "lon_i"])["z"]
+    # bijective on the 8x8 grid
+    assert sorted(z) == list(range(64))
+    # interleave spot checks: (lat,lon)=(1,0)->2, (0,1)->1, (3,3)->15
+    assert z[(1, 0)] == 2 and z[(0, 1)] == 1 and z[(3, 3)] == 15
+    # any 2x2 block occupies 4 consecutive z keys
+    assert {z[(0, 0)], z[(0, 1)], z[(1, 0)], z[(1, 1)]} == {0, 1, 2, 3}
