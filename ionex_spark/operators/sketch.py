@@ -90,3 +90,56 @@ def countmin_estimate(
     return j.groupBy(token_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
     )
+
+
+# ----------------------------------------------- KMV distinct estimator
+
+KMV_SEED = 7300  # disjoint from CMS + minhash seed ranges
+KMV_SPACE = float(1 << 60)  # md5-15-hex hashes are uniform on [0, 2^60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    backend: str = "md5",
+) -> DataFrame:
+    """K-Minimum-Values distinct-count estimator per group (Bar-Yossef
+    et al. 2002): hash every value to [0, 2^60), keep the k smallest
+    DISTINCT hashes per group, estimate |distinct| = (k-1) * 2^60 /
+    kth_min.  Groups with fewer than k distinct values report the EXACT
+    count (the sketch is exact below its capacity — the standard KMV
+    property).
+
+    Why this sketch here: approx_count_distinct (HLL) is not
+    reproducible across engines, but KMV with the engine's deterministic
+    md5 kernel is bit-portable — DuckDB computes the identical estimate,
+    so the gate can oracle an APPROXIMATE algorithm exactly.
+
+    Shape at 100 TB: the inner distinct + window-rank shuffle on
+    (group, hash) — uniform by construction (hash keys); the per-group
+    state is k values regardless of cardinality, and partial
+    aggregation collapses duplicates map-side.
+
+    Output: group_cols + (n_seen, kth_min, est_distinct)."""
+    from ionex_spark.operators.dedup import token_hash_sql
+
+    g = ", ".join(group_cols)
+    h = token_hash_sql(value_col, KMV_SEED, backend)
+    hashes = df.selectExpr(g, f"{h} as hv").dropDuplicates(
+        [*group_cols, "hv"]
+    )
+    ranked = hashes.selectExpr(
+        g, "hv",
+        f"row_number() over (partition by {g} order by hv) as rk",
+    ).filter(f"rk <= {k}")
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("hv").alias("kth_min"),
+        F.expr(
+            f"case when count(*) < {k} then cast(count(*) as double)"
+            f" else ({k} - 1) * cast({KMV_SPACE!r} as double)"
+            " / cast(max(hv) as double) end"
+        ).alias("est_distinct"),
+    )

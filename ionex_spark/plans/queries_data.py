@@ -913,8 +913,11 @@ def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.1}
 
 
+# priority 10: deterministic md5 gate, also exercised by the corpus
+# pipeline job tests
 @register(
     "stratified_sample",
+    priority=10,
     oracle=f"""
 SELECT doc_id, lang FROM documents
 WHERE ({tx.sample_hash_sql('doc_id', 'duckdb')}) <
@@ -1307,3 +1310,42 @@ def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_features with a structural redundancy signal."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tx.repetition_stats(docs, n=2)
+
+
+# ------------------------------------------------ KMV distinct estimator
+
+def _kmv_oracle(k: int = 64) -> str:
+    from ionex_spark.operators.sketch import KMV_SEED, KMV_SPACE
+
+    h = dd.token_hash_duckdb_sql("user_id", KMV_SEED)
+    return f"""
+WITH h AS (SELECT DISTINCT event_type, {h} AS hv FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+)
+SELECT event_type,
+       count(*) AS n_seen,
+       max(hv) AS kth_min,
+       CASE WHEN count(*) < {k} THEN cast(count(*) as double)
+            ELSE ({k} - 1) * cast({KMV_SPACE!r} as double)
+                 / cast(max(hv) as double) END AS est_distinct
+FROM r WHERE rk <= {k}
+GROUP BY event_type
+"""
+
+
+@register("distinct_users_kmv", oracle=_kmv_oracle(), priority=100)
+def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE distinct users per event type via the K-Minimum-Values
+    sketch (operators/sketch.kmv_distinct, k=64) — the cross-engine-
+    reproducible alternative to HLL approx_count_distinct: deterministic
+    md5 hashing makes an approximate algorithm bit-exactly oracleable.
+    Per-group state is k values regardless of cardinality; accuracy
+    (~1/sqrt(k-1) relative error) pinned against exact counts in
+    tests/test_spark_ops.py."""
+    from ionex_spark.operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64)

@@ -802,3 +802,25 @@ def test_morton_key_locality(spark):
     assert z[(1, 0)] == 2 and z[(0, 1)] == 1 and z[(3, 3)] == 15
     # any 2x2 block occupies 4 consecutive z keys
     assert {z[(0, 0)], z[(0, 1)], z[(1, 0)], z[(1, 1)]} == {0, 1, 2, 3}
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(spark):
+    from ionex_spark.operators.sketch import kmv_distinct
+
+    # group "big": 5000 distinct values (sketch regime, ~13% rel error
+    # at k=64); group "small": 10 distinct (exact regime)
+    df = spark.range(5000).selectExpr(
+        "'big' as g", "id as v"
+    ).unionByName(
+        spark.range(10).selectExpr("'small' as g", "id as v")
+    )
+    got = (
+        kmv_distinct(df, ["g"], "v", k=64)
+        .toPandas()
+        .set_index("g")
+    )
+    assert got.loc["small", "est_distinct"] == 10.0
+    assert got.loc["small", "n_seen"] == 10
+    est = got.loc["big", "est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.40  # 3-sigma-ish bound at k=64
+    assert got.loc["big", "n_seen"] == 64
