@@ -256,7 +256,7 @@ def main() -> None:
             "decontam_bench_overlap", "repetition_ngrams",
             "tile_polyfill", "radius_search_sites",
             "gap_fill_epochs", "zorder_blocks", "tile_compact",
-            "distinct_users_kmv",
+            "distinct_users_kmv", "user_tracks",
             "streaming_neardup_batch", "streaming_dedup_batch",
             "token_countmin_sketch", "rollup_pricing_levels",
             "semi_join_active_customers",

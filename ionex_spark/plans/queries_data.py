@@ -269,8 +269,11 @@ def dedup_simhash_pairs_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ text features
 
+# priority 10: with_text_features is exercised end-to-end by the gated
+# corpus_quality_filter (same operator, composed predicate)
 @register(
     "text_features",
+    priority=10,
     oracle=f"""
 SELECT doc_id,
        cast({tx.token_count_duckdb_sql('text')} as bigint) AS n_tokens,

@@ -1402,3 +1402,84 @@ def tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["lat_i", "lon_i"])
     comp = tiles.compact_cells(cells6, 6, 4)
     return comp.selectExpr("res", "lat_i", "lon_i")
+
+
+# ---------------------------------------------- per-user trajectory summary
+
+@register(
+    "user_tracks",
+    priority=100,
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+ev AS (
+  SELECT e.user_id, p.id, p.lat, p.lon, p.tsec
+  FROM events e JOIN pts p ON p.id = e.event_id
+),
+legs AS (
+  SELECT user_id, id, lat, lon, tsec,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsec, id)
+),
+d AS (
+  SELECT user_id, lat, lon,
+         CASE WHEN plat IS NULL THEN cast(0 as decimal(38,0))
+              ELSE cast(floor(sqrt((lat - plat) * (lat - plat)
+                                   + (lon - plon) * (lon - plon))
+                              * cast(1000000000000.0 as double))
+                        as decimal(38,0)) END AS leg_fp
+  FROM legs
+)
+SELECT user_id,
+       count(*) AS n_points,
+       cast(sum(leg_fp) as double)
+         / cast(1000000000000.0 as double) AS track_deg,
+       min(lat) AS lat_min, max(lat) AS lat_max,
+       min(lon) AS lon_min, max(lon) AS lon_max
+FROM d GROUP BY user_id
+""",
+)
+def user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TRAJECTORY summary: events ordered by time become track
+    legs (planar degree-space length — sqrt is correctly rounded per
+    IEEE 754, so the leg lengths are bit-portable; the great-circle
+    variant is radius_search's haversine, sidecar-oracled), summed
+    through DECIMAL for order-independence, plus the bounding box.  The
+    movement-analytics composition: window lag per entity + geo
+    arithmetic + rollup — one window exchange keyed by user, then the
+    group-by reuses the same partitioning (Catalyst elides the second
+    shuffle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    pts = event_points(spark, sf_dir)
+    j = ev.join(pts, ev.event_id == pts.id).select(
+        "user_id", "id", "lat", "lon", "tsec"
+    )
+    w = "partition by user_id order by tsec, id"
+    legs = j.selectExpr(
+        "user_id", "lat", "lon",
+        f"lag(lat) over ({w}) as plat",
+        f"lag(lon) over ({w}) as plon",
+    )
+    # fixed-point legs: floor(leg * 1e12) — IEEE multiply + floor are
+    # deterministic in BOTH engines, where decimal-cast ROUNDING is not
+    # (half-up vs half-even produced last-ulp sum drift)
+    d = legs.selectExpr(
+        "user_id", "lat", "lon",
+        "CASE WHEN plat IS NULL THEN cast(0 as decimal(38,0))"
+        " ELSE cast(floor(sqrt((lat - plat) * (lat - plat)"
+        " + (lon - plon) * (lon - plon))"
+        " * cast(1000000000000.0 as double)) as decimal(38,0)) END"
+        " as leg_fp",
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(
+            "cast(sum(leg_fp) as double)"
+            " / cast(1000000000000.0 as double)"
+        ).alias("track_deg"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+    )
