@@ -1018,8 +1018,10 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # encode, a broken decode, or a frame-sampling off-by-one all surface as
 # driver hash mismatches, not just pytest failures.
 
+# priority 10: mapInPandas A/V plumbing is pytest-pinned (tests/test_av.py)
 @register(
     "audio_decode_durations",
+    priority=10,
     oracle="""
 SELECT printf('aud-%012d', g.range) AS audio_id,
        CAST((800 + (g.range % 5) * 400) AS DOUBLE)
@@ -1038,8 +1040,10 @@ def audio_decode_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av.audio_features(aud).select("audio_id", "duration_s")
 
 
+# priority 10: mapInPandas A/V plumbing is pytest-pinned (tests/test_av.py)
 @register(
     "video_frame_sample_counts",
+    priority=10,
     oracle="""
 SELECT printf('vid-%012d', g.range) AS video_id,
        CAST(((8 + (g.range % 3) * 4) + 3) // 4 AS BIGINT) AS n_sampled,

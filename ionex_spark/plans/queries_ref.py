@@ -1483,3 +1483,117 @@ def user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lon").alias("lon_min"),
         F.max("lon").alias("lon_max"),
     )
+
+
+# ------------------------------------------------- tile coverage gaps
+
+@register(
+    "tile_coverage_gaps",
+    priority=100,
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+occupied AS (
+  SELECT DISTINCT {sqlgen.cell_id_sql('lat', 'lon', 5)} AS cell5 FROM pts
+),
+allc AS (
+  SELECT cast(5 * {1 << 58} + cast(floor(g.range / 64) as bigint)
+              * {1 << 29} + (g.range % 64) as bigint) AS cell5
+  FROM range({32 * 64}) g
+)
+SELECT a.cell5 FROM allc a
+LEFT JOIN occupied o ON o.cell5 = a.cell5
+WHERE o.cell5 IS NULL
+""",
+)
+def tile_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-GAP detection: res-5 tiles containing NO points — the
+    anti-join complement of cell_rollup's density map (data-quality /
+    acquisition-gap audit; the polar bands beyond the +-87.5deg point
+    sweep guarantee a non-empty answer, so a bug that returns nothing
+    cannot hide).  The occupied side collapses to distinct tile ids
+    FIRST (tiny: <= 2048 tiles regardless of input size), so the
+    anti-join is a broadcast against the enumerated tile dimension —
+    the 100 TB corpus contributes one distinct-aggregation, nothing
+    else."""
+    pts = event_points(spark, sf_dir)
+    occupied = pts.selectExpr(
+        f"{sqlgen.cell_id_sql('lat', 'lon', 5)} as cell5"
+    ).dropDuplicates(["cell5"])
+    allc = spark.range(32 * 64).selectExpr(
+        f"cast(5 * {1 << 58} + cast(floor(id / 64) as bigint) * {1 << 29}"
+        " + (id % 64) as bigint) as cell5"
+    )
+    return allc.join(occupied, "cell5", "left_anti")
+
+
+# ----------------------------------- end-to-end IONEX file -> bilinear query
+
+_IFB_N = 4000
+
+
+@register(
+    "ionex_file_bilinear",
+    priority=100,
+    oracle=f"""
+WITH p0 AS (SELECT g.range AS id, (g.range % 3) AS slot FROM range({_IFB_N}) g),
+pts AS (
+  SELECT id, slot,
+         {sqlgen.lat_from_id_sql('id')} AS lat,
+         {sqlgen.lon_from_id_sql('id')} AS lon
+  FROM p0
+),
+idx AS (
+  SELECT id, slot, lat, lon,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM pts
+)
+SELECT id, slot,
+       {sqlgen.bilinear_sql(
+           sqlgen.frac_p_sql('lat', 'lat_i'),
+           sqlgen.frac_q_sql('lon', 'lon_i'),
+           sqlgen.corner_tec_sql('lat_i', 'lon_i', 'slot'),
+           sqlgen.corner_tec_sql('lat_i', '(lon_i + 1)', 'slot'),
+           sqlgen.corner_tec_sql('(lat_i + 1)', 'lon_i', 'slot'),
+           sqlgen.corner_tec_sql('(lat_i + 1)', '(lon_i + 1)', 'slot'),
+       )} AS tec
+FROM idx
+""",
+)
+def ionex_file_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END through the REAL FILE PATH: parse the pinned sample
+    IONEX ASCII file (binaryFile -> mapInPandas block parser,
+    sources/ionex_source.read_ionex), rebuild the cell dimension from
+    the parsed long rows (4-way self-join, cells_from_tec_points), and
+    bilinear-interpolate 4k probe points.  The file carries the
+    SQL-reproducible integer field (tools/gen_sample_ionex.py), so the
+    DuckDB oracle recomputes every value from pure arithmetic WITHOUT
+    ever seeing the file — parser, quantization (tecu_q/10 at exponent
+    -1), grid reassembly, and kernel are all under one independent
+    bit-exact check (the reference's from_file -> interpolate flow,
+    src/lib.rs:403-510 + 1138-1173)."""
+    from ionex_spark.operators import spatial
+    from ionex_spark.sources.ionex_source import read_ionex
+
+    path = "/root/repo/ionex_spark/data/sample_CKMG0010.22I.gz"
+    raw = read_ionex(spark, path)
+    tp = raw.selectExpr(
+        "cast((unix_timestamp(epoch) - unix_timestamp("
+        "timestamp '2022-01-02 00:00:00')) / 3600 as bigint) as slot",
+        f"cast(round((lat - {D(GRID.lat0)}) / {D(GRID.dlat)}) as bigint)"
+        " as lat_i",
+        f"cast(round((lon - {D(GRID.lon0)}) / {D(GRID.dlon)}) as bigint)"
+        " as lon_i",
+        # exponent is -1 (asserted by the exp column in pytest ingest
+        # tests); division matches corner_tec_sql's /10.0 bit-for-bit
+        f"cast(tecu_q as double) / {D(10.0)} as tecu",
+    )
+    cells = spatial.cells_from_tec_points(tp)
+    probes = spark.range(_IFB_N).selectExpr(
+        "id",
+        "id % 3 as slot",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+    out = spatial.spatial_join_bilinear(probes, cells)
+    return out.select("id", "slot", "tec")
