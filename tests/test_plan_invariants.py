@@ -132,3 +132,57 @@ def test_tile_kring_single_aggregate_exchange(spark):
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert len(hash_exchanges) == 1, plan[:800]
     assert "BroadcastNestedLoopJoin" in plan  # the tiny offsets side
+
+
+def test_radius_search_broadcast_only(spark):
+    """The site side must broadcast; the corpus side must not exchange
+    before the final rollup (one Exchange total, keyed by site)."""
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import geo
+
+    pts = spark.range(500).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+    sites = pts.filter("id % 50 = 0").selectExpr(
+        "id as qid", "lat as q_lat", "lon as q_lon"
+    )
+    plan = _plan(geo.radius_search(pts, sites, 500.0))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the per-site aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontam_bench_side_broadcast(spark):
+    """The benchmark shingle index joins as the broadcast side — the
+    corpus explode must not shuffle for the join."""
+    from ionex_spark.operators.decontam import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4")], "bench_id bigint, text string"
+    )
+    plan = _plan(contamination_hits(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_fill_single_window_partitioning(spark):
+    """Both ignore-nulls scans must share ONE window partitioning: a
+    single Exchange on the series key feeds forward+backward passes."""
+    from ionex_spark.operators.spatial import gap_fill_series
+
+    sparse = spark.range(100).selectExpr(
+        "cast(id % 10 as bigint) as k",
+        "cast(floor(id / 10) as bigint) as slot",
+        "cast(id as double) as tecu",
+    ).filter("slot % 3 != 0")
+    plan = _plan(gap_fill_series(sparse, 10, keys=["k"]))
+    # one exchange for the dense-axis groupBy, one for the window — the
+    # two window scans themselves must NOT add separate exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
