@@ -53,10 +53,14 @@ def register(name: str, oracle: str | None = None, priority: int = 50):
 
 
 def ordered_names() -> list[str]:
-    """Registry names sorted by (priority desc, registration order)."""
-    names = list(QUERIES)
-    idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (-PRIORITY[n], idx[n]))
+    """Registry names sorted by (priority desc, name).
+
+    Alphabetical within a priority class — NOT registration order, which
+    depends on Python import order (a consumer importing queries_ref
+    before queries_data would silently reshuffle the gate window; found
+    the hard way when the full pytest suite and a standalone run
+    disagreed about the 50th entry)."""
+    return sorted(QUERIES, key=lambda n: (-PRIORITY[n], n))
 
 
 def _t(sf_dir: str, table: str) -> str:
