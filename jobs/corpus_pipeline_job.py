@@ -1,5 +1,6 @@
 """Production entry point: training-corpus pipeline over a documents
-table — quality filter -> exact dedup -> stratified rebalance — chunked,
+table — quality filter -> (optional) benchmark decontamination ->
+exact dedup -> stratified rebalance — chunked,
 resumable, launched via spark-submit.
 
     python tools/make_pyfiles.py            # builds dist/ionex_spark.zip
@@ -30,7 +31,10 @@ from pyspark.sql import SparkSession, functions as F
 SAMPLE_FRACS = {"en": 0.9, "de": 0.7, "fr": 0.5, "es": 0.5}
 
 
-def build_chunk(spark, docs_path: str, lo: int, hi: int, buckets: int):
+def build_chunk(
+    spark, docs_path: str, lo: int, hi: int, buckets: int,
+    bench_path: str | None = None,
+):
     from ionex_spark.operators import text as tx
 
     docs = spark.read.parquet(docs_path)
@@ -40,6 +44,18 @@ def build_chunk(spark, docs_path: str, lo: int, hi: int, buckets: int):
     mine = docs.filter(f"{part} >= {lo} and {part} < {hi}")
     feats = tx.with_text_features(mine)
     kept = feats.filter(tx.QUALITY_FILTER_SQL)
+    if bench_path:
+        # benchmark DECONTAMINATION: drop any doc sharing a word-trigram
+        # shingle with the eval set.  Chunk-safe by construction: the
+        # predicate depends only on the doc's own shingles and the
+        # GLOBAL (broadcast) benchmark index, never on other chunks.
+        from ionex_spark.operators.decontam import contamination_hits
+
+        bench = spark.read.parquet(bench_path).selectExpr(
+            "doc_id as bench_id", "text"
+        )
+        dirty = contamination_hits(kept, bench).select("doc_id")
+        kept = kept.join(dirty, "doc_id", "left_anti")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -61,6 +77,9 @@ def main() -> None:
     ap.add_argument("--job-id", default="corpus-pipeline")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--hash-buckets", type=int, default=1024)
+    ap.add_argument("--bench", default=None,
+                    help="parquet of benchmark docs (doc_id, text);"
+                    " enables n-gram decontamination")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("corpus-pipeline").getOrCreate()
@@ -75,7 +94,7 @@ def main() -> None:
         (
             f"chunk-{i:04d}",
             (lambda lo, hi: lambda s: build_chunk(
-                s, args.docs, lo, hi, args.hash_buckets
+                s, args.docs, lo, hi, args.hash_buckets, args.bench
             ))(i * per, args.hash_buckets if i == args.chunks - 1
                else (i + 1) * per),
         )
