@@ -1597,3 +1597,59 @@ def ionex_file_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spatial.spatial_join_bilinear(probes, cells)
     return out.select("id", "slot", "tec")
+
+
+# ------------------------------------------- exact distributed quartiles
+
+@register(
+    "quartiles_value_by_type",
+    priority=100,
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                THEN value END) AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                THEN value END) AS p75,
+       max(n) AS n
+FROM r GROUP BY event_type
+""",
+)
+def quartiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quartiles per group via TYPE-1 (inverse-ECDF)
+    order statistics: the value at rank ceil(p*n) — pure integer rank
+    arithmetic, bit-identical across engines where interpolating
+    percentile()/quantile_cont() definitions are not (the
+    median_value_by_type companion; note type-1 p50 takes the UPPER
+    middle for even n rather than averaging).  One window shuffle,
+    conditional-aggregation extract — adding more quantiles costs zero
+    extra passes."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return r.groupBy("event_type").agg(
+        F.expr(
+            "max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)"
+            " THEN value END)"
+        ).alias("p25"),
+        F.expr(
+            "max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)"
+            " THEN value END)"
+        ).alias("p50"),
+        F.expr(
+            "max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)"
+            " THEN value END)"
+        ).alias("p75"),
+        F.max("n").alias("n"),
+    )

@@ -171,3 +171,48 @@ def test_ionex_roundtrip_random_grids(n_epochs, nlat, nlon, exp, seed,
         np.testing.assert_array_equal(rms2, rms)
     else:
         assert rms2 is None
+
+
+# ------------------------------------------------ gap-fill vs pandas twin
+
+def test_gap_fill_matches_pandas_interpolate(spark):
+    """Property: gap_fill_series == pandas interpolate(method='index',
+    limit_area='inside') on randomized gap patterns."""
+    import numpy as np
+    import pandas as pd
+
+    from ionex_spark.operators.spatial import gap_fill_series
+
+    rng = np.random.default_rng(11)
+    n_slots, keys = 16, 6
+    rows = []
+    for key in range(keys):
+        present = rng.random(n_slots) > 0.35
+        if not present.any():
+            present[rng.integers(n_slots)] = True
+        for s in range(n_slots):
+            if present[s]:
+                rows.append((key, s, float(rng.integers(0, 1000)) / 8.0))
+    sparse = spark.createDataFrame(
+        rows, "k bigint, slot int, tecu double"
+    )
+    got = (
+        gap_fill_series(sparse, n_slots, keys=["k"])
+        .toPandas()
+        .set_index(["k", "slot"])
+        .sort_index()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "slot", "tecu"])
+    for key, grp in pdf.groupby("k"):
+        series = grp.set_index("slot")["tecu"].reindex(range(n_slots))
+        want = series.interpolate(method="index", limit_area="inside")
+        w = want.dropna()
+        g = got.loc[key]
+        assert list(g.index) == list(w.index), key
+        np.testing.assert_allclose(
+            g["tecu_filled"].to_numpy(), w.to_numpy(), rtol=0, atol=1e-12
+        )
+        gaps = g["was_gap"].astype(bool)
+        assert set(g.index[gaps]) == set(w.index) - set(
+            series.dropna().index
+        ), key

@@ -824,3 +824,17 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     est = got.loc["big", "est_distinct"]
     assert abs(est - 5000) / 5000 < 0.40  # 3-sigma-ish bound at k=64
     assert got.loc["big", "n_seen"] == 64
+
+
+def test_quartiles_hand_computed(spark, tmp_path):
+    """Type-1 quantiles: value at rank ceil(p*n)."""
+    from ionex_spark.plans.queries_ref import quartiles_value_by_type
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([40, 10, 30, 20])]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = quartiles_value_by_type(spark, str(tmp_path)).first()
+    # sorted [10,20,30,40], n=4: p25 -> rank 1 = 10, p50 -> rank 2 = 20,
+    # p75 -> rank 3 = 30
+    assert (got.p25, got.p50, got.p75, got.n) == (10.0, 20.0, 30.0, 4)
