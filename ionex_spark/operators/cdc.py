@@ -1,0 +1,78 @@
+"""Change-data-capture between table versions: keyed snapshot diff.
+
+The consumer side of the snapshot/time-travel layer (sources/tableio):
+given two versions of a keyed table, emit one row per changed key with
+`change_type` in {added, removed, changed} and both value images — what
+an incremental downstream (index refresh, cache invalidation, training-
+set delta shipping) consumes instead of re-reading 100 TB.
+
+Shape at scale: ONE full-outer shuffle join on the key (both sides
+hash-partitioned once); the value comparison is a narrow codegen
+predicate, and unchanged keys are filtered BEFORE any further exchange,
+so the output is proportional to the churn, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff: (keys..., change_type, <col>_old, <col>_new per
+    compare col).  Unchanged keys produce no row.  NULL-safe comparison
+    (<=>), so NULL -> value and value -> NULL count as changes."""
+    o = old.select(
+        *keys, *[F.col(c).alias(f"{c}_old") for c in compare_cols]
+    ).withColumn("_in_old", F.lit(1))
+    n = new.select(
+        *keys, *[F.col(c).alias(f"{c}_new") for c in compare_cols]
+    ).withColumn("_in_new", F.lit(1))
+    j = o.join(n, keys, "full_outer")
+    same = " and ".join(f"{c}_old <=> {c}_new" for c in compare_cols)
+    return (
+        j.withColumn(
+            "change_type",
+            F.expr(
+                "CASE WHEN _in_old IS NULL THEN 'added'"
+                " WHEN _in_new IS NULL THEN 'removed'"
+                f" WHEN {same} THEN 'unchanged'"
+                " ELSE 'changed' END"
+            ),
+        )
+        .filter("change_type != 'unchanged'")
+        .drop("_in_old", "_in_new")
+    )
+
+
+def upsert_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE semantics: rows from ``updates`` win on key collision,
+    unmatched current rows survive — one full-outer join + per-column
+    coalesce (matched-update + not-matched-insert of Iceberg/Delta
+    MERGE INTO, without delete clauses)."""
+    cols = [c for c in current.columns if c not in keys]
+    assert set(current.columns) == set(updates.columns), (
+        current.columns, updates.columns,
+    )
+    c = current.alias("c")
+    u = updates.alias("u")
+    j = c.join(u, keys, "full_outer")
+    return j.select(
+        *[F.coalesce(F.col(f"u.{k}"), F.col(f"c.{k}")).alias(k) for k in keys],
+        *[
+            # updates win WHERE THE KEY MATCHED (u side present), even if
+            # the new value is NULL: gate on a u-side key, not the value
+            F.when(
+                F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{col}")
+            ).otherwise(F.col(f"c.{col}")).alias(col)
+            for col in cols
+        ],
+    )

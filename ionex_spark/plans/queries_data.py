@@ -1356,3 +1356,57 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
+
+
+# ------------------------------------------------- CDC keyed snapshot diff
+
+@register(
+    "snapshot_diff_events",
+    priority=100,
+    oracle="""
+WITH old AS (
+  SELECT event_id, value FROM events WHERE event_id % 5 != 0
+),
+new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN value * cast(2.0 as double)
+              ELSE value END AS value
+  FROM events WHERE event_id % 7 != 0
+),
+j AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         o.value AS value_old, n.value AS value_new,
+         (o.event_id IS NOT NULL) AS in_old,
+         (n.event_id IS NOT NULL) AS in_new
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT event_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN value_old IS NOT DISTINCT FROM value_new THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       value_old, value_new
+FROM j
+WHERE NOT (in_old AND in_new AND value_old IS NOT DISTINCT FROM value_new)
+""",
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table versions (operators/cdc.snapshot_diff):
+    version A = events minus every 5th id, version B = events minus
+    every 7th id with every 3rd value doubled — the diff emits
+    added/removed/changed rows with both value images and drops
+    unchanged keys before any further exchange.  One full-outer shuffle
+    on the key; output proportional to churn, not table size.  The
+    write-side twin (SnapshotTable.upsert -> copy-on-write overwrite
+    snapshot -> diff across time travel) is pytest-pinned in
+    tests/test_tableio_streaming.py."""
+    from ionex_spark.operators.cdc import snapshot_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter("event_id % 5 != 0").select("event_id", "value")
+    new = ev.filter("event_id % 7 != 0").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 3 = 0 THEN value * cast(2.0 as double)"
+        " ELSE value END as value",
+    )
+    return snapshot_diff(old, new, keys=["event_id"], compare_cols=["value"])

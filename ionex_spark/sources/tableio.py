@@ -225,6 +225,58 @@ class SnapshotTable:
             raise ValueError("table has no snapshots")
         return spark.read.parquet(*files)
 
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Commit a REPLACE snapshot: the new version's file set is only
+        the freshly written files (append's child snapshot instead keeps
+        the parent's files).  Time travel to prior snapshots still works
+        — old files are never deleted, exactly like Iceberg's
+        copy-on-write overwrite."""
+        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        files = [
+            os.path.join(stage, f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        ]
+        parent = self.current_snapshot()
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "timestamp": time.time(),
+            "files": files,
+            "added_files": files,
+            "operation": "overwrite",
+            "summary": summary or {},
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"snapshot {sid} was committed concurrently; retry"
+            ) from e
+        os.unlink(tmp)
+        return sid
+
+    def upsert(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE INTO: updates win on key collision, other rows survive;
+        committed as a copy-on-write overwrite snapshot (operators/cdc.
+        upsert_merge).  diff two snapshots afterwards with
+        cdc.snapshot_diff(table.read(s, v1), table.read(s, v2), ...)."""
+        from ionex_spark.operators.cdc import upsert_merge
+
+        if self.current_snapshot() is None:
+            return self.overwrite(updates, summary={"op": "upsert-init"})
+        merged = upsert_merge(self.read(spark), updates, keys)
+        return self.overwrite(merged, summary={"op": "upsert"})
+
 
 class ResumableJob:
     """Chunked, checkpointed job with per-chunk lineage + metrics.

@@ -27,7 +27,7 @@ RISKY = {
     "radius_search_sites", "gap_fill_epochs", "zorder_blocks",
     "tile_compact", "distinct_users_kmv", "user_tracks",
     "tile_coverage_gaps", "ionex_file_bilinear",
-    "quartiles_value_by_type",
+    "quartiles_value_by_type", "snapshot_diff_events",
 }
 
 # the flagship + §2 core operators the VERDICT coverage table cites as

@@ -192,3 +192,61 @@ def test_resumable_job_explicit_lineage_dir(spark, tmp_path):
     assert res["ran"] == ["c1"]
     assert os.path.exists(os.path.join(ldir, "job-x.json"))
     assert job.lineage()[0]["rows"] == 5
+
+
+def test_upsert_copy_on_write_and_cdc(spark, tmp_path):
+    """MERGE-INTO semantics + time travel + snapshot diff round trip."""
+    from ionex_spark.operators.cdc import snapshot_diff
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, v double",
+    )
+    s1 = t.upsert(spark, v1, keys=["k"])
+    # update k=2, insert k=4, leave 1 and 3 untouched
+    up = spark.createDataFrame(
+        [(2, "b", 25.0), (4, "d", 40.0)], "k bigint, name string, v double"
+    )
+    s2 = t.upsert(spark, up, keys=["k"])
+    now = t.read(spark).toPandas().set_index("k").sort_index()
+    assert list(now.index) == [1, 2, 3, 4]
+    assert now.loc[2, "v"] == 25.0 and now.loc[4, "v"] == 40.0
+    # time travel: v1 unchanged
+    then = t.read(spark, s1).toPandas().set_index("k").sort_index()
+    assert list(then.index) == [1, 2, 3] and then.loc[2, "v"] == 20.0
+    # CDC across the two snapshots
+    d = (
+        snapshot_diff(
+            t.read(spark, s1), t.read(spark, s2),
+            keys=["k"], compare_cols=["v"],
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert list(d.index) == [2, 4]
+    assert d.loc[2, "change_type"] == "changed"
+    assert d.loc[4, "change_type"] == "added"
+    assert d.loc[2, "v_old"] == 20.0 and d.loc[2, "v_new"] == 25.0
+
+
+def test_upsert_null_update_wins(spark, tmp_path):
+    """An update row carrying NULL must overwrite the old value (matched
+    keys take the update image verbatim, not coalesce-by-value)."""
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl2"))
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, 5.0)], "k bigint, v double"),
+        keys=["k"],
+    )
+    t.upsert(
+        spark,
+        spark.createDataFrame([(1, None)], "k bigint, v double"),
+        keys=["k"],
+    )
+    got = t.read(spark).first()
+    assert got.k == 1 and got.v is None
