@@ -156,3 +156,52 @@ def phash_near_dup_pairs(
     )
     out = dd.hamming_pairs_from_sig(sig, max_hamming, "doc_id", scheme)
     return out.selectExpr("id_a", "id_b", "hamming")
+
+
+def multimodal_near_dup_pairs(
+    images: DataFrame,
+    max_hamming: int = 3,
+    jaccard_threshold: float = 0.5,
+    n_minhash: int = 8,
+    band_rows: int = 2,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """MULTIMODAL near-duplicate policy over an image+caption table: a
+    pair is a duplicate if its IMAGES are perceptual near-dups (phash
+    hamming <= max_hamming) OR its CAPTIONS are text near-dups (shingle
+    jaccard >= threshold) — the union policy a curation pipeline
+    actually applies (same photo re-captioned, same caption on a
+    re-encoded photo, or both).
+
+    Output: (id_a, id_b, image_dup, caption_dup, hamming, jaccard) with
+    NULL metric for the modality that did not fire.  Composition of the
+    two existing blocked pipelines — each side stays bucketed
+    (candidates near-linear), the final merge is a full-outer join on
+    the (small) flagged-pair sets, and the bytes payload never enters
+    any plan."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.operators import dedup as dd
+
+    img_pairs = phash_near_dup_pairs(
+        images, max_hamming, id_col, phash_col
+    ).withColumn("image_dup", F.lit(1))
+
+    caps = images.selectExpr(f"{id_col} as doc_id", f"{caption_col} as text")
+    sigs = dd.minhash_signatures(caps, n_minhash, backend="xxhash64")
+    cand = dd.lsh_candidate_pairs(sigs, n_minhash, band_rows)
+    cap_pairs = dd.jaccard_verify(
+        cand, caps, threshold=jaccard_threshold
+    ).selectExpr("id_a", "id_b", "jaccard").withColumn(
+        "caption_dup", F.lit(1)
+    )
+
+    merged = img_pairs.join(cap_pairs, ["id_a", "id_b"], "full_outer")
+    return merged.select(
+        "id_a", "id_b",
+        F.coalesce("image_dup", F.lit(0)).alias("image_dup"),
+        F.coalesce("caption_dup", F.lit(0)).alias("caption_dup"),
+        "hamming", "jaccard",
+    )

@@ -838,3 +838,38 @@ def test_quartiles_hand_computed(spark, tmp_path):
     # sorted [10,20,30,40], n=4: p25 -> rank 1 = 10, p50 -> rank 2 = 20,
     # p75 -> rank 3 = 30
     assert (got.p25, got.p50, got.p75, got.n) == (10.0, 20.0, 30.0, 4)
+
+
+def test_multimodal_near_dup_policy(spark):
+    """Planted pairs: image-twin with different caption, caption-twin
+    with different image, full twin — each flagged by the right
+    modality."""
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 30, partitions=2).select(
+        "image_id", "phash", "caption"
+    ).toPandas()
+    rows = [
+        (r.image_id, int(r.phash), r.caption) for r in imgs.itertuples()
+    ]
+    base = rows[0]
+    # image twin: phash 1 bit off, unrelated caption
+    rows.append(("img_twin", base[1] ^ 1, "completely different words"))
+    # caption twin: same caption, unrelated phash
+    rows.append(("cap_twin", 0x5A5A5A5A5A5A5A5A, base[2]))
+    # full twin
+    rows.append(("full_twin", base[1], base[2]))
+    df = spark.createDataFrame(
+        rows, "image_id string, phash long, caption string"
+    )
+    got = mm.multimodal_near_dup_pairs(df).toPandas()
+    pairs = {
+        tuple(sorted((a, b))): (i, c)
+        for a, b, i, c in zip(
+            got["id_a"], got["id_b"], got["image_dup"], got["caption_dup"]
+        )
+    }
+    b = base[0]
+    assert pairs[tuple(sorted((b, "img_twin")))] == (1, 0)
+    assert pairs[tuple(sorted((b, "cap_twin")))] == (0, 1)
+    assert pairs[tuple(sorted((b, "full_twin")))] == (1, 1)
