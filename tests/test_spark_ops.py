@@ -873,3 +873,53 @@ def test_multimodal_near_dup_policy(spark):
     assert pairs[tuple(sorted((b, "img_twin")))] == (1, 0)
     assert pairs[tuple(sorted((b, "cap_twin")))] == (0, 1)
     assert pairs[tuple(sorted((b, "full_twin")))] == (1, 1)
+
+
+# ------------------------------------------------------ empty-input edges
+
+def test_empty_input_edges(spark):
+    """Operators must degrade to empty results, not crash, on empty
+    sides — the condition every production run eventually hits."""
+    from ionex_spark.operators import geo, tiles
+    from ionex_spark.operators.cdc import snapshot_diff
+    from ionex_spark.operators.sketch import kmv_distinct
+    from ionex_spark.operators.spatial import gap_fill_series
+
+    empty_pts = spark.createDataFrame(
+        [], "id bigint, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "qid bigint, q_lat double, q_lon double"
+    )
+    # empty corpus, sites present
+    assert geo.radius_search(empty_pts, sites, 100.0).count() == 0
+    # corpus present, empty sites
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0)], "id bigint, lat double, lon double"
+    )
+    empty_sites = spark.createDataFrame(
+        [], "qid bigint, q_lat double, q_lon double"
+    )
+    assert geo.radius_search(pts, empty_sites, 100.0).count() == 0
+    assert geo.nearest_site_assign(pts, empty_sites).count() == 0
+
+    empty_cells = spark.createDataFrame([], "lat_i bigint, lon_i bigint")
+    assert tiles.compact_cells(empty_cells, 6, 4).count() == 0
+
+    empty_ev = spark.createDataFrame([], "g string, v bigint")
+    assert kmv_distinct(empty_ev, ["g"], "v").count() == 0
+
+    empty_kv = spark.createDataFrame([], "k bigint, v double")
+    kv = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    d = snapshot_diff(empty_kv, kv, ["k"], ["v"]).toPandas()
+    assert list(d["change_type"]) == ["added"]
+    d2 = snapshot_diff(kv, empty_kv, ["k"], ["v"]).toPandas()
+    assert list(d2["change_type"]) == ["removed"]
+
+    # single-present-slot series: that slot survives, nothing else
+    one = spark.createDataFrame(
+        [("a", 3, 7.0)], "k string, slot int, tecu double"
+    )
+    g = gap_fill_series(one, 8, keys=["k"]).toPandas()
+    assert len(g) == 1 and g.iloc[0]["slot"] == 3
+    assert g.iloc[0]["tecu_filled"] == 7.0 and g.iloc[0]["was_gap"] == 0
