@@ -468,9 +468,7 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dups",
-    oracle=f"""
+_DUCK_EMB_PAIRS = f"""
 WITH c AS (
   SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
   FROM embeddings
@@ -484,8 +482,10 @@ pairs AS (
 )
 SELECT id_a, id_b, bucket, cos_sim FROM pairs
 WHERE cos_sim >= cast(0.35 as double)
-""",
-)
+"""
+
+
+@register("embedding_near_dups", oracle=_DUCK_EMB_PAIRS)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify
     (the dedup brief's embedding-cosine near-dup operator)."""
@@ -1410,3 +1410,46 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE value END as value",
     )
     return snapshot_diff(old, new, keys=["event_id"], compare_cols=["value"])
+
+
+# -------------------------------------------- embedding dedup groups
+
+@register(
+    "embedding_dedup_groups",
+    # priority 10 = past the 50-entry window (composition of two already-
+    # gated pipelines: embedding_near_dups pairs + the star-contraction
+    # CC exercised by dedup_groups_star); still check_oracle-verifiable.
+    priority=10,
+    oracle=f"""
+WITH RECURSIVE pairs AS ({{EMB_PAIRS}}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+r(src, node) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node
+)
+SELECT src AS vec_id, min(node) AS group_id,
+       CASE WHEN src = min(node) THEN 1 ELSE 0 END AS is_keeper
+FROM r GROUP BY src
+""".replace("{EMB_PAIRS}", _DUCK_EMB_PAIRS),
+)
+def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING dedup GROUPS: connected components (large-star/small-
+    star) over the verified embedding-cosine near-dup pair graph — the
+    step that turns pairwise semantic duplicates into keep/drop
+    decisions, completing the embedding dedup pipeline the same way
+    dedup_groups completes the minhash one.  Pairs come from the SAME
+    registered embedding_near_dups plan, so this row also cross-checks
+    that query against the recursive-CTE transitive closure."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dups(spark, sf_dir)
+    groups = dd.connected_components_star(
+        emb.selectExpr("vec_id as doc_id"), pairs
+    )
+    return groups.selectExpr(
+        "doc_id as vec_id", "group_id",
+        "CASE WHEN doc_id = group_id THEN 1 ELSE 0 END as is_keeper",
+    )
