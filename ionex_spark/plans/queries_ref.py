@@ -1691,3 +1691,60 @@ def voronoi_site_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist_km").alias("min_km"),
         F.max("dist_km").alias("max_km"),
     )
+
+
+# ---------------------------------------- multi-way dim join (TPC-H Q5-lite)
+
+@register(
+    "revenue_by_nation",
+    # priority 10: the OLAP multi-way-join family is long-stable (join_
+    # orders_customers gated two rounds); past-cap but check_oracle-able
+    priority=10,
+    oracle="""
+SELECT n.n_name AS nation,
+       cast(sum(cast(l.l_extendedprice * (cast(1.0 as double) - l.l_discount)
+                     as decimal(18,4))) as double) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+  AND o.o_orderdate <  timestamp '1997-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-lite: revenue per nation for one order year through the
+    lineitem -> orders -> customer -> nation join chain — the multi-way
+    star join exercising Catalyst's join reordering + broadcast of the
+    two dim tables (customer at sf<=1 and nation always broadcast; at
+    100 TB customer graduates to a shuffle join and AQE decides).
+    Revenue = price*(1-discount) cast to DECIMAL(18,4): both factors
+    carry <=2 decimals, so the 4dp cast recovers the EXACT product and
+    the sum is order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderdate >= timestamp '1996-01-01 00:00:00'"
+        " and o_orderdate < timestamp '1997-01-01 00:00:00'"
+    ).select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice * (cast(1.0 as double)"
+            " - l_discount) as decimal(18,4))) as double)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
