@@ -1453,3 +1453,71 @@ def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id as vec_id", "group_id",
         "CASE WHEN doc_id = group_id THEN 1 ELSE 0 END as is_keeper",
     )
+
+
+# ------------------------------------------------ corpus distribution drift
+
+@register(
+    "token_drift_top",
+    # priority 10: composition of already-gated tokenization + rollup
+    # machinery; past-cap but check_oracle-able
+    priority=10,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+           AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+a AS (SELECT token, count(*) AS c_old FROM t WHERE doc_id % 2 = 0 GROUP BY 1),
+b AS (SELECT token, count(*) AS c_new FROM t WHERE doc_id % 2 = 1 GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(sum(c_old) AS BIGINT) FROM a) AS t_old,
+         (SELECT CAST(sum(c_new) AS BIGINT) FROM b) AS t_new
+),
+j AS (
+  SELECT coalesce(a.token, b.token) AS token,
+         coalesce(a.c_old, 0) AS c_old, coalesce(b.c_new, 0) AS c_new
+  FROM a FULL OUTER JOIN b ON a.token = b.token
+)
+SELECT j.token, j.c_old, j.c_new,
+       CAST(abs(j.c_old * tot.t_new - j.c_new * tot.t_old) AS BIGINT)
+         AS drift_num,
+       tot.t_old, tot.t_new
+FROM j CROSS JOIN tot
+ORDER BY drift_num DESC, j.token
+LIMIT 20
+""",
+)
+def token_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DRIFT detector: the 20 tokens whose relative frequency
+    moved most between two corpus halves (doc_id parity stands in for
+    old/new crawl versions) — the data-monitoring check a training
+    pipeline runs between snapshot versions.  Drift is ranked by the
+    EXACT integer numerator |c_old*T_new - c_new*T_old| (the
+    cross-multiplied frequency difference), so no float sum ever forms
+    and the ranking is bit-portable; TVD = sum(drift_num)/(2*T_old*
+    T_new) is recoverable downstream.  One token rollup per side + a
+    full-outer merge on the (uniform) token key; top-k via
+    TakeOrderedAndProject."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = dd.tokens_exploded(docs)
+    a = t.filter("doc_id % 2 = 0").groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_old")
+    )
+    b = t.filter("doc_id % 2 = 1").groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_new")
+    )
+    j = (
+        a.join(b, "token", "full_outer")
+        .fillna(0, subset=["c_old", "c_new"])
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    out = j.crossJoin(F.broadcast(tot)).selectExpr(
+        "token", "c_old", "c_new",
+        "cast(abs(c_old * t_new - c_new * t_old) as bigint) as drift_num",
+        "t_old", "t_new",
+    )
+    return out.orderBy(F.desc("drift_num"), "token").limit(20)
