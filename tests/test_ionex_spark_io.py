@@ -3,6 +3,7 @@ src/tests/toolkit.rs:10-50, through Spark this time)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ionex_spark.core import synth
 from ionex_spark.core.ionex_io import read_ionex_file, write_ionex_file
@@ -69,3 +70,75 @@ def test_spark_export_roundtrip(spark, ionex_files, tmp_path):
     _, ep_b, tec_b, _ = read_ionex_file(out)
     np.testing.assert_array_equal(ep_a, ep_b)
     np.testing.assert_array_equal(tec_a, tec_b)  # byte-value reciprocity
+
+
+def test_rollup_export_reparse_roundtrip(spark, tmp_path):
+    """Full raster loop over DRIVER data: synthetic event points ->
+    per-cell mean-TEC rollup on the CKMG grid -> quantize -> distributed
+    IONEX export -> distributed re-ingest -> every written cell parses
+    back bit-identical (absent cells become the 9999 sentinel and stay
+    absent).  This is the aggregate->raster->file->reparse composition a
+    production export actually runs, not a synthetic-grid reciprocity."""
+    import numpy as np
+
+    from ionex_spark.core.linspace import ckmg_grid
+    from ionex_spark.core.ionex_io import IonexHeader
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.functions.sqlgen import GRID
+
+    n_slots = 3
+    pts = spark.range(20000).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        "id % 3 as slot",
+    )
+    rollup = (
+        pts.selectExpr(
+            "slot",
+            f"{sqlgen.lat_idx_sql('lat')} as lat_i",
+            f"{sqlgen.lon_idx_sql('lon')} as lon_i",
+        )
+        .groupBy("slot", "lat_i", "lon_i")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # quantized "TEC" = clamped count (deterministic, 0..9998 range)
+        .selectExpr("slot", "lat_i", "lon_i", "least(n, 9998) as tecu_q")
+    )
+    tp = rollup.selectExpr(
+        "timestamp '2022-01-02 00:00:00' + make_interval(0,0,0,0,slot,0,0)"
+        " as epoch",
+        f"cast({sqlgen.GRID.lat0!r} as double) + lat_i"
+        f" * cast({GRID.dlat!r} as double) as lat",
+        f"cast({GRID.lon0!r} as double) + lon_i"
+        f" * cast({GRID.dlon!r} as double) as lon",
+        "cast(450.0 as double) as alt",
+        "tecu_q",
+    )
+    epochs = (
+        np.datetime64("2022-01-02T00:00:00")
+        + np.arange(n_slots) * np.timedelta64(3600, "s")
+    ).astype("datetime64[s]")
+    hdr = IonexHeader(
+        grid=ckmg_grid(),
+        interval_s=3600,
+        epoch_first=epochs[0],
+        epoch_last=epochs[-1],
+        number_of_maps=n_slots,
+        exponent=-1,
+        comments=["rollup export round trip"],
+    )
+    out = str(tmp_path / "ROLL0010.22I")
+    export_ionex(tp, hdr, out)
+    back = read_ionex(spark, out).selectExpr(
+        "cast((unix_timestamp(epoch) - unix_timestamp("
+        "timestamp '2022-01-02 00:00:00')) / 3600 as bigint) as slot",
+        f"cast(round((lat - cast({GRID.lat0!r} as double))"
+        f" / cast({GRID.dlat!r} as double)) as bigint) as lat_i",
+        f"cast(round((lon - cast({GRID.lon0!r} as double))"
+        f" / cast({GRID.dlon!r} as double)) as bigint) as lon_i",
+        "tecu_q",
+    )
+    want = rollup.toPandas().set_index(["slot", "lat_i", "lon_i"]).sort_index()
+    got = back.toPandas().set_index(["slot", "lat_i", "lon_i"]).sort_index()
+    assert len(want) == len(got)
+    assert (want["tecu_q"] == got["tecu_q"]).all()
