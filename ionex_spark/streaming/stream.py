@@ -209,3 +209,89 @@ def streaming_tile_stats(tiled: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ streaming sessionization
+
+SESSION_STATE = (
+    "session_start bigint, last_tsec bigint, n_events bigint,"
+    " session_id bigint"
+)
+SESSION_OUT = (
+    "user_id bigint, session_id bigint, n_events bigint,"
+    " session_start bigint, session_end bigint, closed int"
+)
+SESSION_GAP_S = 1800
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """Per-user session state machine across micro-batches, VECTORIZED
+    within each batch: sort by event time, find gap breaks (> 30 min)
+    with a diff+cumsum, roll segments up with groupby, stitch the first
+    segment onto the open session carried in GroupState.  Emits every
+    CLOSED session once (closed=1) plus a snapshot of the still-open
+    session each batch (closed=0, update-mode semantics) — the streaming
+    twin of the gated batch query sessionize_events."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        s_start, last, n, sid = state.get
+    else:
+        s_start, last, n, sid = None, None, 0, 0
+    rows = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["tsec", "event_id"])
+        t = pdf["tsec"].to_numpy(np.int64)
+        prev = np.concatenate(([t[0] if last is None else last], t[:-1]))
+        seg = np.cumsum((t - prev) > SESSION_GAP_S)
+        segs = pd.DataFrame({"seg": seg, "t": t}).groupby("seg")["t"].agg(
+            ["count", "min", "max"]
+        )
+        for s, (cnt, tmin, tmax) in enumerate(
+            segs.itertuples(index=False), start=0
+        ):
+            if s == 0 and last is not None and seg.size and seg[0] == 0:
+                # continues the open session
+                n += int(cnt)
+                last = int(tmax)
+            else:
+                if n:  # close the previous session
+                    rows.append((key[0], sid, n, s_start, last, 1))
+                    sid += 1
+                s_start, last, n = int(tmin), int(tmax), int(cnt)
+            if s_start is None:
+                s_start = int(tmin)
+    state.update((s_start, last, n, sid))
+    if n:
+        rows.append((key[0], sid, n, s_start, last, 0))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "session_id", "n_events", "session_start",
+            "session_end", "closed",
+        ],
+    )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming sessionization (30-min inactivity gap) via
+    applyInPandasWithState — expects (user_id, event_id, tsec) columns;
+    assumes event-time-ordered arrival per user across batches (enforce
+    upstream with a watermark + sort within trigger if the source can
+    reorder)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_id", "tsec")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
