@@ -110,3 +110,52 @@ def uncompact_cells(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(["lat_i", "lon_i"])
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(lat: str, lon: str, chars: int = 6) -> str:
+    """Standard GEOHASH string (base-32, lon bit first) as a portable
+    SQL expression: quantize lat/lon to 15 bits each over their full
+    ranges, interleave lon-first into a 30-bit code, then map each
+    5-bit group through the geohash alphabet with substr (1-based in
+    both Spark and DuckDB).  chars <= 6 (30 bits).
+
+    Same per-row arithmetic shape as morton_sql — a narrow codegen
+    projection; the string form exists for interop with systems keyed
+    by geohash (the integer morton key remains the engine's preferred
+    layout key)."""
+    if not 1 <= chars <= 6:
+        raise ValueError("chars must be in 1..6")
+    nbits = 15
+    latq = (
+        f"greatest(least(cast(floor((({lat}) + 90.0) / 180.0"
+        f" * {1 << nbits}) as bigint), {(1 << nbits) - 1}), 0)"
+    )
+    lonq = (
+        f"greatest(least(cast(floor((({lon}) + 180.0) / 360.0"
+        f" * {1 << nbits}) as bigint), {(1 << nbits) - 1}), 0)"
+    )
+    terms = []
+    for b in range(nbits):
+        # lon bit b -> even position 2b, lat bit b -> odd position 2b+1
+        # (geohash counts from the MOST significant interleaved bit:
+        # bit 0 of the 30-bit code = highest lon bit)
+        terms.append(
+            f"(cast(floor(_lonq / {1 << b}) as bigint) % 2) * {1 << (2 * b + 1)}"
+        )
+        terms.append(
+            f"(cast(floor(_latq / {1 << b}) as bigint) % 2) * {1 << (2 * b)}"
+        )
+    code = "(" + " + ".join(terms) + ")"
+    chunks = []
+    for c in range(chars):
+        shift = 5 * (6 - 1 - c)
+        idx = f"(cast(floor(_code / {1 << shift}) as bigint) % 32)"
+        chunks.append(f"substr('{GEOHASH32}', cast({idx} as int) + 1, 1)")
+    expr = "concat(" + ", ".join(chunks) + ")"
+    # single-expression form: inline the quantizers and code
+    expr = expr.replace("_code", code)
+    expr = expr.replace("_lonq", lonq).replace("_latq", latq)
+    return expr

@@ -1748,3 +1748,41 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# ------------------------------------------------------- geohash encoding
+
+def _geohash_oracle() -> str:
+    from ionex_spark.operators.tiles import geohash_sql
+
+    return f"""
+WITH pts AS ({_PTS_SQL})
+SELECT {geohash_sql('lat', 'lon', 4)} AS gh4,
+       count(*) AS n_points,
+       min(id) AS min_id
+FROM pts GROUP BY 1
+"""
+
+
+@register(
+    "geohash_prefix_counts",
+    # priority 10: interop-surface twin of the gated zorder_blocks
+    # (same interleave arithmetic, string alphabet on top); past-cap
+    # but check_oracle-able
+    priority=10,
+    oracle=_geohash_oracle(),
+)
+def geohash_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard GEOHASH cell rollup at 4 characters (operators/tiles.
+    geohash_sql — canonical test vector u4pruy pinned in pytest): the
+    base-32 string interop surface over the same lon-first interleave
+    arithmetic as the Morton layout key.  Narrow codegen projection +
+    one rollup exchange."""
+    from ionex_spark.operators.tiles import geohash_sql
+
+    pts = event_points(spark, sf_dir)
+    return (
+        pts.selectExpr("id", f"{geohash_sql('lat', 'lon', 4)} as gh4")
+        .groupBy("gh4")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("id").alias("min_id"))
+    )

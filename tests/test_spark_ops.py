@@ -923,3 +923,20 @@ def test_empty_input_edges(spark):
     g = gap_fill_series(one, 8, keys=["k"]).toPandas()
     assert len(g) == 1 and g.iloc[0]["slot"] == 3
     assert g.iloc[0]["tecu_filled"] == 7.0 and g.iloc[0]["was_gap"] == 0
+
+
+def test_geohash_known_vectors(spark):
+    from ionex_spark.operators.tiles import geohash_sql
+
+    # canonical vectors (geohash.org): (57.64911, 10.40744) -> u4pruy;
+    # (0,0) -> s00000; poles/antimeridian clamp without error
+    got = spark.range(1).selectExpr(
+        geohash_sql("57.64911", "10.40744", 6) + " as a",
+        geohash_sql("0.0", "0.0", 6) + " as b",
+        geohash_sql("90.0", "180.0", 6) + " as c",
+        geohash_sql("-90.0", "-180.0", 6) + " as d",
+    ).first()
+    assert got.a == "u4pruy"
+    assert got.b == "s00000"
+    assert got.c == "zzzzzz"
+    assert got.d == "000000"
