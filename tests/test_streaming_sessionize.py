@@ -81,3 +81,53 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     for (u, s), r in final.iterrows():
         is_last = s == final.loc[u].index.max()
         assert r["closed"] == (0 if is_last else 1), (u, s)
+
+
+def test_streaming_sessionize_checkpoint_restart(spark, tmp_path):
+    """The session state machine must survive a full query RESTART from
+    the checkpoint: batch 2 runs in a brand-new streaming query and
+    still stitches onto batch 1's open session."""
+    from ionex_spark.streaming.stream import streaming_sessionize
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, event_id bigint, tsec bigint"
+
+    out_rows = []
+
+    def sink(df, _bid):
+        out_rows.extend(df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: an open session for user 7
+    spark.createDataFrame(
+        [(7, 1, 100), (7, 2, 900)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # run 2 (new query, same checkpoint): continuation + later a gap
+    spark.createDataFrame(
+        [(7, 3, 1500), (7, 4, 9000)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    final = {}
+    for r in out_rows:
+        final[(r.user_id, r.session_id)] = r
+    s0 = final[(7, 0)]
+    # session 0 spans BOTH runs: events 100, 900 (run 1) + 1500 (run 2)
+    assert (s0.n_events, s0.session_start, s0.session_end, s0.closed) == (
+        3, 100, 1500, 1,
+    )
+    s1 = final[(7, 1)]
+    assert (s1.n_events, s1.session_start, s1.closed) == (1, 9000, 0)
