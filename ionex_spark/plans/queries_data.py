@@ -1521,3 +1521,53 @@ def token_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_old", "t_new",
     )
     return out.orderBy(F.desc("drift_num"), "token").limit(20)
+
+
+# ------------------------------------------------ curriculum quality deciles
+
+@register(
+    "quality_decile_stats",
+    # priority 10: window+rollup composition of gated machinery
+    priority=10,
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         cast({tx.token_count_duckdb_sql('text')} as bigint) AS n_tokens,
+         {tx.quality_score_sql('text')} AS quality
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_tokens, quality,
+         ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+  FROM f
+)
+SELECT decile, count(*) AS n_docs,
+       min(quality) AS q_min, max(quality) AS q_max,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc
+FROM d GROUP BY decile
+""",
+)
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM binning: documents ntile'd into quality deciles
+    (deterministic ties by doc_id) with per-bin token budgets — the
+    ordering step of quality-staged training-data curricula.  ntile is
+    SQL-standard (first n%k buckets take the extra row) so the bucket
+    boundaries are bit-identical across engines; one window exchange."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = docs.selectExpr(
+        "doc_id",
+        f"cast({tx.token_count_sql('text')} as bigint) as n_tokens",
+        f"{tx.quality_score_sql('text')} as quality",
+    )
+    d = f.selectExpr(
+        "doc_id", "n_tokens", "quality",
+        "ntile(10) over (order by quality, doc_id) as decile",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("q_min"),
+        F.max("quality").alias("q_max"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
