@@ -1786,3 +1786,80 @@ def geohash_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gh4")
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("id").alias("min_id"))
     )
+
+
+# ------------------------------------------------------ 3-step event funnel
+
+@register(
+    "funnel_view_click_purchase",
+    # priority 10: conditional-aggregation composition of gated window
+    # machinery; past-cap but check_oracle-able
+    priority=10,
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS tsec
+  FROM events
+),
+s1 AS (SELECT user_id, min(tsec) AS t_view FROM t
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT t.user_id, min(t.tsec) AS t_click
+       FROM t JOIN s1 ON s1.user_id = t.user_id
+       WHERE t.event_type = 'click' AND t.tsec >= s1.t_view
+       GROUP BY t.user_id),
+s3 AS (SELECT t.user_id, min(t.tsec) AS t_purchase
+       FROM t JOIN s2 ON s2.user_id = t.user_id
+       WHERE t.event_type = 'purchase' AND t.tsec >= s2.t_click
+       GROUP BY t.user_id)
+SELECT
+  (SELECT count(*) FROM s1) AS n_view,
+  (SELECT count(*) FROM s2) AS n_view_click,
+  (SELECT count(*) FROM s3) AS n_view_click_purchase,
+  (SELECT CAST(coalesce(sum(s3.t_purchase - s1.t_view), 0) AS BIGINT)
+   FROM s3 JOIN s1 ON s1.user_id = s3.user_id) AS total_funnel_seconds
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ORDERED event funnel (view -> click -> purchase): stage N
+    counts users whose step-N event happens at or after their step-N-1
+    time — the behavioral-analytics sequence query (sessionize's
+    companion).  Each stage is a filtered min-aggregation semi-joined to
+    the previous stage; all stage tables are user-grained (small), so
+    the chain is broadcast-friendly and the events table is scanned
+    ONCE per stage predicate with the aggregation pushed map-side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_type", "unix_timestamp(ts) as tsec"
+    )
+    s1 = ev.filter("event_type = 'view'").groupBy("user_id").agg(
+        F.min("tsec").alias("t_view")
+    )
+    s2 = (
+        ev.filter("event_type = 'click'")
+        .join(s1, "user_id")
+        .filter("tsec >= t_view")
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t_click"))
+    )
+    s3 = (
+        ev.filter("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .filter("tsec >= t_click")
+        .groupBy("user_id")
+        .agg(F.min("tsec").alias("t_purchase"))
+    )
+    funnel_time = (
+        s3.join(s1, "user_id")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(t_purchase - t_view), 0) as bigint)"
+            ).alias("total_funnel_seconds")
+        )
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+    return counts.crossJoin(funnel_time)
