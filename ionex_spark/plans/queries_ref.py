@@ -1863,3 +1863,85 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.crossJoin(funnel_time)
+
+
+# ------------------------------------------------------- zonal statistics
+
+def _zonal_tec_expr() -> str:
+    from ionex_spark.plans.queries import _TEC_EXPR_ORACLE
+
+    return _TEC_EXPR_ORACLE
+
+
+def _zonal_edges() -> str:
+    from ionex_spark.plans.queries import _polygon_edges_values
+
+    return _polygon_edges_values()
+
+
+def _zonal_cond() -> str:
+    from ionex_spark.operators.pip import CROSSING_COND
+
+    return CROSSING_COND.format(px="t.lon", py="t.lat")
+
+
+@register(
+    "zonal_stats_polygons",
+    # priority 10: composition of two gated pipelines (pip_polygons +
+    # tile_bilinear); past-cap but check_oracle-able
+    priority=10,
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+idx AS (
+  SELECT id, lat, lon, slot,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i
+  FROM pts
+),
+tec AS (
+  SELECT id, lat, lon, {_zonal_tec_expr()} AS tec FROM idx
+),
+hits AS (
+  SELECT t.id, t.tec, poly_id, count(*) AS crossings
+  FROM tec t JOIN {_zonal_edges()}
+    ON {_zonal_cond()}
+  GROUP BY t.id, t.tec, poly_id
+)
+SELECT poly_id,
+       count(*) AS n_points,
+       CAST(sum(cast(floor(tec * cast(1000000000.0 as double))
+                     as decimal(38,0))) AS BIGINT) AS tec_sum_fp,
+       min(id) AS min_id
+FROM hits WHERE crossings % 2 = 1
+GROUP BY poly_id
+""",
+)
+def zonal_stats_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONAL STATISTICS — the classic raster-over-vector aggregation:
+    per fixture polygon, the count and fixed-point TEC sum of every
+    contained point, with TEC bilinear-interpolated from the grid at
+    each point's own epoch (the raster side).  Composition of the gated
+    PIP edge-crossing join and the gated bilinear kernel; the TEC sum
+    goes through floor(tec*1e9) fixed-point so the aggregate is
+    order-independent AND free of decimal-cast rounding divergence
+    (mean = tec_sum_fp / (n_points * 1e9) downstream)."""
+    from ionex_spark.core import synth
+    from ionex_spark.operators import pip as pip_ops
+    from ionex_spark.operators import spatial
+
+    pts = event_points(spark, sf_dir)
+    cells = spatial.build_tec_cells(spark)
+    tec = spatial.spatial_join_bilinear(pts, cells)
+    edges = pip_ops.edges_df(spark, synth.polygon_rings())
+    inside = pip_ops.pip_edges_join(
+        tec.select("id", "lat", "lon", "tec"), edges
+    )
+    j = inside.join(tec.select("id", "tec"), "id")
+    return j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(
+            "cast(sum(cast(floor(tec * cast(1000000000.0 as double))"
+            " as decimal(38,0))) as bigint)"
+        ).alias("tec_sum_fp"),
+        F.min("id").alias("min_id"),
+    )
