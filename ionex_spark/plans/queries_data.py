@@ -1571,3 +1571,60 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+# --------------------------------------------- BPE merge-pair counting
+
+@register(
+    "bpe_pair_counts",
+    # priority 10: tokenizer-training composition over gated machinery
+    priority=10,
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+           AS token
+  FROM documents
+),
+w AS (
+  SELECT token, count(*) AS freq FROM toks
+  WHERE length(token) > 1 GROUP BY token
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(token)),
+                               i -> substr(token, i, 2))) AS pair,
+         freq
+  FROM w
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, step 1: corpus-weighted adjacent
+    character-pair frequencies (the statistic each merge round of
+    byte-pair encoding maximizes), top-30 with deterministic ties.
+    Shape: the corpus collapses to the (distinct word, frequency) table
+    FIRST — pair explosion then runs over the vocabulary (tiny,
+    Heaps-law sublinear), not the corpus; at 100 TB the word rollup is
+    the only corpus-sized exchange and every BPE merge iteration after
+    this reuses the same vocabulary table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (
+        dd.tokens_exploded(docs)
+        .filter("length(token) > 1")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = w.selectExpr(
+        "explode(transform(sequence(1, length(token) - 1),"
+        " i -> substr(token, i, 2))) as pair",
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
