@@ -261,3 +261,87 @@ def repetition_stats(
             "cast(max(cnt) as double) / cast(sum(cnt) as double)"
         ).alias("rep_ratio"),
     )
+
+
+# -------------------------------------------------- iterative BPE training
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Byte-pair-encoding TOKENIZER TRAINING: n_merges rounds of
+    (count adjacent symbol pairs -> merge the most frequent pair in the
+    vocabulary), the Sennrich et al. 2016 algorithm.
+
+    Scale shape (the reason BPE trains fine on a 100 TB corpus): the
+    corpus is touched ONCE to build the (distinct word, frequency)
+    table; every merge round after that operates on the vocabulary —
+    Heaps-law sublinear in corpus size — with one pair-count rollup and
+    one narrow fold per round, plus a 1-row driver action to pick the
+    winning pair (bounded by n_merges, the connected-components loop
+    pattern).  Ties break deterministically (count desc, pair lexical).
+
+    Returns (merges, vocab_df): the ordered merge list [(a, b), ...]
+    and the final vocabulary DataFrame (token, syms array<string>,
+    freq)."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.operators.dedup import tokens_exploded
+
+    vocab = (
+        tokens_exploded(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .selectExpr(
+            "token",
+            "transform(sequence(1, length(token)),"
+            " i -> substr(token, i, 1)) as syms",
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # guard: sequence(0, -1) DESCENDS in Spark, so a single-symbol
+        # token would index syms[-1] — filter fully-merged words out of
+        # the pair scan (they can never contribute a pair again)
+        pairs = vocab.filter("size(syms) >= 2").selectExpr(
+            "explode(transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] as a, syms[i + 1] as b))) as p",
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "p.a", "p.b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].p.a, top[0].p.b
+        merges.append((a, b))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # greedy left-to-right merge of (a,b) -> ab inside each symbol
+        # array, as one fold: state = (emitted symbols, pending symbol)
+        merge = f"""
+aggregate(
+  syms,
+  struct(cast(array() as array<string>) as arr,
+         cast(null as string) as pend),
+  (acc, s) -> case
+      when acc.pend is null then struct(acc.arr as arr, s as pend)
+      when acc.pend = '{qa}' and s = '{qb}'
+        then struct(concat(acc.arr, array('{qa}{qb}')) as arr,
+                    cast(null as string) as pend)
+      else struct(concat(acc.arr, array(acc.pend)) as arr, s as pend)
+    end,
+  acc -> case when acc.pend is null then acc.arr
+              else concat(acc.arr, array(acc.pend)) end)
+"""
+        vocab = vocab.selectExpr(
+            "token", f"{merge} as syms", "freq"
+        ).localCheckpoint()
+    return merges, vocab

@@ -940,3 +940,59 @@ def test_geohash_known_vectors(spark):
     assert got.b == "s00000"
     assert got.c == "zzzzzz"
     assert got.d == "000000"
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train == a pure-python Sennrich-style reference on a corpus
+    with a known merge progression."""
+    from collections import Counter
+
+    from ionex_spark.operators.text import bpe_train
+
+    corpus = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+
+    def ref_bpe(texts, n):
+        vocab = Counter()
+        for t in texts:
+            for w in t.split():
+                vocab[tuple(w)] += 1
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            # count desc, pair lexical asc (the engine's tie rule)
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            new = Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] += f
+            vocab = new
+        return merges, vocab
+
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    merges, vocab = bpe_train(docs, n_merges=8)
+    want_merges, want_vocab = ref_bpe([t for _, t in corpus], 8)
+    assert merges == want_merges
+    got_vocab = {
+        tuple(r.syms): r.freq for r in vocab.collect()
+    }
+    assert got_vocab == dict(want_vocab)
