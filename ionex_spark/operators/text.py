@@ -345,3 +345,53 @@ aggregate(
             "token", f"{merge} as syms", "freq"
         ).localCheckpoint()
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to a corpus — the INFERENCE side
+    of bpe_train: each document becomes its BPE token sequence by
+    replaying the merges in training order (greedy left-to-right, the
+    standard semantics).
+
+    Shape: one narrow chained projection per merge — K merges = K
+    whole-stage-codegen folds over the token arrays, zero shuffles; at
+    100 TB the cost is K linear passes per row, embarrassingly
+    parallel.  Output: (id_col, bpe_tokens array<string>, n_bpe_tokens).
+    """
+    # words as char arrays: merges never cross word boundaries because
+    # each word keeps its own symbol array
+    out = df.selectExpr(
+        id_col,
+        f"transform(filter(split(lower({ws_norm_sql(text_col)}), ' '),"
+        " x -> length(x) > 0),"
+        " w -> transform(sequence(1, length(w)), i -> substr(w, i, 1)))"
+        " as words",
+    )
+    for a, b in merges:
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        merge = f"""
+transform(words, syms -> aggregate(
+  syms,
+  struct(cast(array() as array<string>) as arr,
+         cast(null as string) as pend),
+  (acc, s) -> case
+      when acc.pend is null then struct(acc.arr as arr, s as pend)
+      when acc.pend = '{qa}' and s = '{qb}'
+        then struct(concat(acc.arr, array('{qa}{qb}')) as arr,
+                    cast(null as string) as pend)
+      else struct(concat(acc.arr, array(acc.pend)) as arr, s as pend)
+    end,
+  acc -> case when acc.pend is null then acc.arr
+              else concat(acc.arr, array(acc.pend)) end))
+"""
+        out = out.selectExpr(id_col, f"{merge} as words")
+    return out.selectExpr(
+        id_col,
+        "flatten(words) as bpe_tokens",
+        "size(flatten(words)) as n_bpe_tokens",
+    )

@@ -996,3 +996,26 @@ def test_bpe_train_matches_reference(spark):
         tuple(r.syms): r.freq for r in vocab.collect()
     }
     assert got_vocab == dict(want_vocab)
+
+
+def test_bpe_encode_roundtrip_with_training(spark):
+    """Encoding with the trained merges reproduces each word's final
+    vocabulary segmentation, and concatenating tokens restores the
+    text."""
+    from ionex_spark.operators.text import bpe_encode, bpe_train
+
+    corpus = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    merges, vocab = bpe_train(docs, n_merges=8)
+    seg = {"".join(r.syms): list(r.syms) for r in vocab.collect()}
+    enc = bpe_encode(docs, merges).toPandas().set_index("doc_id")
+    for doc_id, text in corpus:
+        want = [t for w in text.split() for t in seg[w]]
+        got = list(enc.loc[doc_id, "bpe_tokens"])
+        assert got == want, doc_id
+        assert "".join(got) == text.replace(" ", "")
+        assert enc.loc[doc_id, "n_bpe_tokens"] == len(want)
