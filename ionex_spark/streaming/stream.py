@@ -295,3 +295,40 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ stream-stream interval join
+
+def streaming_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each click matches the views of the
+    SAME user that happened within ``max_lag`` BEFORE it — the
+    attribution join (view -> click conversion), the one streaming join
+    class the stream-static pattern cannot express.
+
+    State-boundedness: BOTH sides carry watermarks and the join
+    condition bounds event time in BOTH directions
+    (view_ts <= click_ts <= view_ts + max_lag), so Spark can evict
+    buffered rows once the watermark passes — state tracks the lag
+    horizon, not the stream (the mandatory shape for an unbounded
+    stream-stream join; without the time bound state grows forever).
+
+    Expects (user_id, view_id/click_id, view_ts/click_ts) columns."""
+    v = views.withWatermark("view_ts", watermark)
+    c = clicks.withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            "v_user_id = c_user_id"
+            " AND view_ts <= click_ts"
+            f" AND click_ts <= view_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id", "view_ts", "click_id", "click_ts",
+    )
