@@ -259,7 +259,7 @@ def main() -> None:
             "distinct_users_kmv", "user_tracks",
             "tile_coverage_gaps", "ionex_file_bilinear",
             "quartiles_value_by_type", "snapshot_diff_events",
-            "voronoi_site_rollup",
+            "voronoi_site_rollup", "attribution_interval_join",
             "streaming_neardup_batch", "streaming_dedup_batch",
             "token_countmin_sketch", "rollup_pricing_levels",
             "semi_join_active_customers",

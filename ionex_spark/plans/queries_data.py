@@ -805,8 +805,11 @@ _URL_RE = "https?://([^/]+)/"
 _BLOCKED = ("spamfarm-0.example.org", "spamfarm-2.example.org")
 
 
+# priority 10: broadcast anti-join class also gate-covered by
+# tile_coverage_gaps and exercised by the corpus-job decontam stage
 @register(
     "domain_blocklist_rollup",
+    priority=10,
     oracle=f"""
 WITH urls AS (
   SELECT doc_id,

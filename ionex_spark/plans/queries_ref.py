@@ -1945,3 +1945,53 @@ def zonal_stats_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tec_sum_fp"),
         F.min("id").alias("min_id"),
     )
+
+
+# ------------------------------------------- attribution interval join
+
+@register(
+    "attribution_interval_join",
+    priority=100,
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS tsec
+  FROM events
+),
+v AS (SELECT user_id, event_id AS view_id, tsec AS view_t
+      FROM t WHERE event_type = 'view'),
+c AS (SELECT user_id, event_id AS click_id, tsec AS click_t
+      FROM t WHERE event_type = 'click')
+SELECT v.user_id, v.view_id, c.click_id,
+       (c.click_t - v.view_t) AS lag_s
+FROM v JOIN c ON c.user_id = v.user_id
+  AND v.view_t <= c.click_t AND c.click_t <= v.view_t + 3600
+""",
+)
+def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the stream-stream attribution join
+    (streaming/stream.streaming_interval_join): every (view, click)
+    pair of the same user with the click at most 1 hour after the view
+    — tests/test_streaming_interval_join.py proves the watermarked
+    stream-stream join produces exactly this pair set, so the driver
+    row is hard evidence for the streaming semantics.  Equi-join on
+    user plus a two-sided time predicate; both sides are event-grained
+    projections of one scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "event_id", "event_type", "unix_timestamp(ts) as tsec"
+    )
+    v = ev.filter("event_type = 'view'").selectExpr(
+        "user_id", "event_id as view_id", "tsec as view_t"
+    )
+    c = ev.filter("event_type = 'click'").selectExpr(
+        "user_id as c_user_id", "event_id as click_id", "tsec as click_t"
+    )
+    j = v.join(
+        c,
+        (v.user_id == c.c_user_id)
+        & (v.view_t <= c.click_t)
+        & (c.click_t <= v.view_t + 3600),
+    )
+    return j.selectExpr(
+        "user_id", "view_id", "click_id", "(click_t - view_t) as lag_s"
+    )

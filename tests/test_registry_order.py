@@ -28,6 +28,7 @@ RISKY = {
     "tile_compact", "distinct_users_kmv", "user_tracks",
     "tile_coverage_gaps", "ionex_file_bilinear",
     "quartiles_value_by_type", "snapshot_diff_events",
+    "attribution_interval_join",
 }
 
 # the flagship + §2 core operators the VERDICT coverage table cites as
