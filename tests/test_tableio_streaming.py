@@ -250,3 +250,68 @@ def test_upsert_null_update_wins(spark, tmp_path):
     )
     got = t.read(spark).first()
     assert got.k == 1 and got.v is None
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The windowed rollup must DROP events arriving later than the
+    watermark horizon and keep on-time rows — pinning the late-data
+    semantics the 100 TB streaming design claims (bounded state via
+    eviction, not unbounded buffering).  Two checkpointed runs make the
+    ordering deterministic: run 1 advances the watermark to 11:50 and
+    persists it; run 2 delivers one LATE row (10:05) and one on-time
+    row."""
+    from ionex_spark.streaming.stream import windowed_tile_counts
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "tile_id bigint, tec double, ts timestamp"
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out_rows = []
+
+    def sink(df, _bid):
+        out_rows.extend(df.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_tile_counts(
+                stream, window="1 hour", watermark="10 minutes"
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: on-time events up to 12:00 -> committed watermark ~ 11:50
+    write([(1, 1.0, at(0)), (1, 1.0, at(30)), (1, 1.0, at(120))])
+    run_once()
+    # run 2: one LATE event far behind the persisted watermark plus an
+    # on-time event that closes the 12:00 window
+    write([(1, 99.0, at(5)), (1, 1.0, at(130))])
+    run_once()
+
+    agg = {}
+    for r in out_rows:
+        agg[r.window_start] = (r.n_points, r.sum_tec)
+    # the 10:00 window finalized with ONLY the on-time rows: the late
+    # 99.0 event was dropped by the restored watermark, not merged
+    assert agg[at(0)] == (2, 2.0)
+    # and the 12:00 window carries the run-1 event (+ run-2 on-time row
+    # if its window closed); it must never contain the late event
+    for (n, s) in agg.values():
+        assert s != 99.0 and s < 99.0
