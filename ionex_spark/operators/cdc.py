@@ -76,3 +76,59 @@ def upsert_merge(
             for col in cols
         ],
     )
+
+
+def apply_rollup_delta(
+    old_rollup: DataFrame,
+    diff: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for algebraic rollups: given the old
+    per-key rollup and a snapshot_diff of the BASE table, produce the
+    new rollup WITHOUT rescanning the base — each changed row
+    contributes (new - old) to its key's aggregates; added rows
+    contribute +new, removed rows -old.  Keys whose count reaches zero
+    drop out.
+
+    The 100 TB point: the base table never rescans — the update cost is
+    O(churn), and the delta aggregation + outer merge shuffle only the
+    (small) changed-key set.  Requires algebraic aggregates (count/sum);
+    min/max need the base table on shrinkage and are out of scope."""
+    sum_cols = sum_cols or []
+    contrib = diff.selectExpr(
+        *keys,
+        "CASE change_type WHEN 'added' THEN 1 WHEN 'removed' THEN -1"
+        " ELSE 0 END as _dn",
+        *[
+            f"coalesce({c}_new, cast(0 as double))"
+            f" - coalesce({c}_old, cast(0 as double)) as _d_{c}"
+            for c in sum_cols
+        ],
+    )
+    delta = contrib.groupBy(*keys).agg(
+        F.sum("_dn").alias("_dn"),
+        *[F.sum(f"_d_{c}").alias(f"_d_{c}") for c in sum_cols],
+    )
+    o = old_rollup.alias("o")
+    d = delta.alias("d")
+    j = o.join(d, keys, "full_outer")
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"d.{k}"), F.col(f"o.{k}")).alias(k)
+            for k in keys
+        ],
+        (
+            F.coalesce(F.col(f"o.{count_col}"), F.lit(0))
+            + F.coalesce(F.col("d._dn"), F.lit(0))
+        ).alias(count_col),
+        *[
+            (
+                F.coalesce(F.col(f"o.{c}"), F.lit(0.0))
+                + F.coalesce(F.col(f"d._d_{c}"), F.lit(0.0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return out.filter(F.col(count_col) > 0)
