@@ -143,3 +143,97 @@ def kmv_distinct(
             " / cast(max(hv) as double) end"
         ).alias("est_distinct"),
     )
+
+
+# --------------------------------------------------- Bloom filter build/probe
+
+BLOOM_SEED = 7500  # disjoint from CMS/KMV seed ranges
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+    backend: str = "md5",
+) -> DataFrame:
+    """Distributed BLOOM FILTER build: k deterministic hash positions
+    per value, OR-folded into an m-bit bitmap stored as m/64 bigint
+    words — (word_idx, word) rows.  The filter table is m/64 rows
+    regardless of input size (the Count-Min property), construction is
+    one explode + one bit_or groupBy with map-side combine, and two
+    filters MERGE by bit_or on word_idx (the mergeability that makes
+    Bloom filters the standard distributed semi-join prefilter).
+
+    Unlike Spark's built-in bloom_filter_agg, the md5 backend makes the
+    EXACT bitmap reproducible in DuckDB, so the gate can verify the
+    filter bit-for-bit."""
+    assert m_bits % 64 == 0
+    pos = [
+        f"pmod({token_hash_sql(value_col, BLOOM_SEED + j, backend)},"
+        f" {m_bits})"
+        for j in range(k)
+    ]
+    exploded = df.selectExpr(
+        f"explode(array({', '.join(pos)})) as bitpos"
+    )
+    return (
+        exploded.selectExpr(
+            "cast(floor(bitpos / 64) as bigint) as word_idx",
+            "shiftleft(cast(1 as bigint), cast(bitpos % 64 as int)) as w",
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(w)").alias("word"))
+    )
+
+
+def bloom_probe_sql(
+    value_col: str,
+    m_bits: int,
+    k: int,
+    backend: str = "md5",
+) -> list[str]:
+    """The k (word_idx, mask) probe expressions for a value — each must
+    find its bit set in the filter for a MAYBE; any miss is a definite
+    NO (used by joining probes against the filter table k ways or via a
+    broadcast map)."""
+    out = []
+    for j in range(k):
+        p = f"pmod({token_hash_sql(value_col, BLOOM_SEED + j, backend)}, {m_bits})"
+        out.append(
+            f"struct(cast(floor({p} / 64) as bigint) as word_idx,"
+            f" shiftleft(cast(1 as bigint), cast({p} % 64 as int)) as mask)"
+        )
+    return out
+
+
+def bloom_membership(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 5,
+    backend: str = "md5",
+    id_col: str = "probe_id",
+) -> DataFrame:
+    """Membership test: a probe is MAYBE-present iff all k bits are set.
+    The filter is tiny -> broadcast; the probe side explodes k rows,
+    joins on word_idx, and counts matched bits — no shuffle of the
+    probe table beyond the per-probe rollup."""
+    pr = probes.selectExpr(
+        id_col,
+        f"explode(array({', '.join(bloom_probe_sql(value_col, m_bits, k, backend))}))"
+        " as p",
+    ).selectExpr(id_col, "p.word_idx as word_idx", "p.mask as mask")
+    j = pr.join(F.broadcast(bloom), "word_idx", "left")
+    return (
+        j.selectExpr(
+            id_col,
+            "case when word is not null and (word & mask) = mask"
+            " then 1 else 0 end as hit",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(f"cast(sum(hit) = {k} as int)").alias("maybe_present")
+        )
+    )

@@ -1631,3 +1631,56 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(30)
     )
+
+
+# --------------------------------------------------- Bloom filter bitmap
+
+def _duck_bloom(m_bits: int = 4096, k: int = 5) -> str:
+    from ionex_spark.operators.sketch import BLOOM_SEED
+
+    pos = ", ".join(
+        f"({dd.token_hash_duckdb_sql('token', BLOOM_SEED + j)} % {m_bits})"
+        for j in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest(string_split(lower({tx.ws_norm_sql('text')}), ' '))
+             AS token
+    FROM documents WHERE doc_id % 2 = 0
+  ) WHERE length(token) > 0
+),
+bits AS (
+  SELECT unnest([{pos}]) AS bitpos FROM toks
+)
+SELECT CAST(floor(bitpos / 64) AS BIGINT) AS word_idx,
+       -- DuckDB raises on 1<<63 (signed overflow) where Spark's
+       -- shiftleft wraps to the sign bit: spell bit 63 explicitly
+       bit_or(CASE WHEN bitpos % 64 = 63 THEN -9223372036854775808
+                   ELSE CAST(1 AS BIGINT) << CAST(bitpos % 64 AS INT)
+              END) AS word
+FROM bits GROUP BY 1
+"""
+
+
+@register("bloom_filter_tokens", oracle=_duck_bloom(), priority=10)
+def bloom_filter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BLOOM FILTER over the even-document vocabulary
+    (operators/sketch.bloom_build, m=4096 bits, k=5): the mergeable
+    semi-join prefilter, with the md5 backend making the EXACT bitmap
+    reproducible in DuckDB — the filter itself is the verified output
+    (64 bigint words regardless of corpus size).  Membership semantics
+    (zero false negatives, bounded false positives, bit_or mergeability)
+    are pytest-pinned."""
+    from ionex_spark.operators.sketch import bloom_build
+
+    toks = (
+        dd.tokens_exploded(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                "doc_id % 2 = 0"
+            )
+        )
+        .select("token")
+        .dropDuplicates(["token"])
+    )
+    return bloom_build(toks, "token", m_bits=4096, k=5, backend="md5")

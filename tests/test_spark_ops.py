@@ -1019,3 +1019,37 @@ def test_bpe_encode_roundtrip_with_training(spark):
         assert got == want, doc_id
         assert "".join(got) == text.replace(" ", "")
         assert enc.loc[doc_id, "n_bpe_tokens"] == len(want)
+
+
+def test_bloom_filter_semantics(spark):
+    """Zero false negatives, plausible false-positive rate, and bit_or
+    mergeability of two independently built filters."""
+    from ionex_spark.operators.sketch import bloom_build, bloom_membership
+
+    m, k = 4096, 5
+    a = spark.range(200).selectExpr("concat('w', id) as v")
+    b = spark.range(200, 400).selectExpr("concat('w', id) as v")
+    fa = bloom_build(a, "v", m, k).cache()
+    fb = bloom_build(b, "v", m, k).cache()
+
+    # no false negatives on members of a
+    probes_in = a.selectExpr("v as probe_id", "v")
+    hits = bloom_membership(probes_in, fa, "v", m, k).toPandas()
+    assert (hits["maybe_present"] == 1).all()
+    # false-positive rate on 1000 non-members stays near theory
+    # ((1-e^{-kn/m})^k ~ 1.2% at n=200, m=4096, k=5)
+    outs = spark.range(10_000, 11_000).selectExpr(
+        "concat('x', id) as probe_id", "concat('x', id) as v"
+    )
+    fp = bloom_membership(outs, fa, "v", m, k).toPandas()
+    assert fp["maybe_present"].mean() < 0.05
+    # merged filter accepts members of BOTH sides
+    merged = (
+        fa.unionByName(fb)
+        .groupBy("word_idx")
+        .agg(__import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+            "bit_or(word)").alias("word"))
+    )
+    both = a.unionByName(b).selectExpr("v as probe_id", "v")
+    mh = bloom_membership(both, merged, "v", m, k).toPandas()
+    assert (mh["maybe_present"] == 1).all()
