@@ -12,6 +12,8 @@ data, reproducible in both engines.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -30,15 +32,20 @@ PRIORITY: dict[str, int] = {}
 # The round driver's oracle gate checks only the FIRST 50 entries of
 # __spark_entry__.queries() in iteration order (round-3 verdict finding
 # #1: 13 of 63 queries silently fell outside the window).  register()
-# therefore carries a priority tag and __spark_entry__ yields entries
-# sorted by (priority desc, registration order), so new/risky queries
-# always land inside the gate and any future cap degrades gracefully:
+# carries a priority tag:
 #   100 = novel/recently-changed work that MUST have driver evidence
+#         THIS round (demote to 50 once a green driver row lands)
 #    50 = default
 #    10 = trivial + long-stable (simple scans/filters whose operator is
-#         also pytest-covered); these are the only entries allowed to
-#         fall outside a capped gate
-# tests/test_registry_order.py pins the first-50 set.
+#         also pytest-covered)
+# Since round 5 the ordering is STALENESS-DOMINANT (round-4 verdict
+# task #1): after the explicit priority-100 block, entries sort by how
+# old their last green driver row is (gate_history.json, regenerated
+# from the driver's own CORRECTNESS_r*.json via
+# tools/gen_gate_history.py).  With an 89-entry registry and a 50-entry
+# window this rotates every oracled query through the hard gate at
+# least once every 2 rounds; tests/test_registry_order.py pins that
+# invariant.
 
 
 def register(name: str, oracle: str | None = None, priority: int = 50):
@@ -52,15 +59,54 @@ def register(name: str, oracle: str | None = None, priority: int = 50):
     return deco
 
 
-def ordered_names() -> list[str]:
-    """Registry names sorted by (priority desc, name).
+_HISTORY_PATH = os.path.join(os.path.dirname(__file__), "gate_history.json")
 
-    Alphabetical within a priority class — NOT registration order, which
-    depends on Python import order (a consumer importing queries_ref
-    before queries_data would silently reshuffle the gate window; found
-    the hard way when the full pytest suite and a standalone run
-    disagreed about the 50th entry)."""
-    return sorted(QUERIES, key=lambda n: (-PRIORITY[n], n))
+
+def gate_history() -> dict:
+    """Per-query green-driver-round history ({name: [rounds]}, latest_round).
+
+    Derived from the driver's CORRECTNESS_r*.json output files by
+    tools/gen_gate_history.py — the registry never self-certifies."""
+    try:
+        with open(_HISTORY_PATH) as f:
+            return json.load(f)
+    except OSError:  # fresh checkout before any round ran
+        return {"latest_round": 0, "rounds": {}}
+
+
+def last_driver_round(name: str, hist: dict | None = None) -> int:
+    """Newest round with a fully green driver row for `name` (0 = never)."""
+    h = hist if hist is not None else gate_history()
+    rounds = h["rounds"].get(name)
+    return rounds[-1] if rounds else 0
+
+
+def current_round() -> int:
+    """The round now being built = latest recorded driver round + 1."""
+    return gate_history()["latest_round"] + 1
+
+
+def ordered_names() -> list[str]:
+    """Registry names, most-gate-worthy first.
+
+    Sort key: (new-work block first, last green driver round ascending,
+    priority descending, name).  Priority 100 pins this round's
+    new/changed queries to the top; everything else rotates by evidence
+    staleness so never-checked and oldest-checked queries always reach
+    the driver's 50-entry window.  Name is the final tiebreak — NOT
+    registration order, which depends on Python import order (a consumer
+    importing queries_ref before queries_data would silently reshuffle
+    the gate window; found the hard way in round 4)."""
+    hist = gate_history()
+    return sorted(
+        QUERIES,
+        key=lambda n: (
+            0 if PRIORITY[n] >= 100 else 1,
+            last_driver_round(n, hist),
+            -PRIORITY[n],
+            n,
+        ),
+    )
 
 
 def _t(sf_dir: str, table: str) -> str:

@@ -236,7 +236,7 @@ WHERE bit_count(xor(sa.band_0, sb.band_0))
 """
 
 
-@register("dedup_simhash_pairs", oracle=_DUCK_SIMHASH_PAIRS, priority=100)
+@register("dedup_simhash_pairs", oracle=_DUCK_SIMHASH_PAIRS, priority=50)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end simhash near-dup pipeline through the documented
     100 TB-default candidate stage: 64-bit signature -> C(6,3) Manku
@@ -255,7 +255,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IDENTICAL verified pair set — any complete candidate superset does, the
 # hamming filter is exact — so it shares dedup_simhash_pairs' oracle; a
 # drift between the two schemes shows up as a gate hash-mismatch here.
-@register("dedup_simhash_pairs_bands", oracle=_DUCK_SIMHASH_PAIRS, priority=100)
+@register("dedup_simhash_pairs_bands", oracle=_DUCK_SIMHASH_PAIRS, priority=50)
 def dedup_simhash_pairs_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_simhash_pairs through the 4x16-bit BAND candidate stage
     (hamming<=3 pigeonhole blocking) — simpler than the Manku scheme and
@@ -1192,7 +1192,7 @@ WHERE {ham} <= 3
 """
 
 
-@register("streaming_neardup_batch", oracle=_ndb_oracle(), priority=100)
+@register("streaming_neardup_batch", oracle=_ndb_oracle(), priority=50)
 def streaming_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH TWIN of streaming_near_dup_alerts: incoming signatures
     (synthesized from event ids; 1 in 10 is a planted hamming-1 near-dup
@@ -1221,7 +1221,7 @@ def streaming_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_batch",
-    priority=100,
+    priority=50,
     oracle="""
 WITH t AS (
   SELECT user_id, event_type, event_id,
@@ -1280,7 +1280,7 @@ FROM hits GROUP BY doc_id
 """
 
 
-@register("decontam_bench_overlap", oracle=_DUCK_DECONTAM, priority=100)
+@register("decontam_bench_overlap", oracle=_DUCK_DECONTAM, priority=50)
 def decontam_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION: flag every corpus document sharing a
     word-trigram shingle with the held-out eval set (docs with
@@ -1311,7 +1311,7 @@ FROM cnt GROUP BY doc_id
 """
 
 
-@register("repetition_ngrams", oracle=_DUCK_REPETITION, priority=100)
+@register("repetition_ngrams", oracle=_DUCK_REPETITION, priority=50)
 def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram REPETITION ratio (share of the most frequent
     n-gram) — the Gopher-style 'repeated n-gram' quality rule catching
@@ -1346,7 +1346,7 @@ GROUP BY event_type
 """
 
 
-@register("distinct_users_kmv", oracle=_kmv_oracle(), priority=100)
+@register("distinct_users_kmv", oracle=_kmv_oracle(), priority=50)
 def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE distinct users per event type via the K-Minimum-Values
     sketch (operators/sketch.kmv_distinct, k=64) — the cross-engine-
@@ -1365,7 +1365,7 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_diff_events",
-    priority=100,
+    priority=50,
     oracle="""
 WITH old AS (
   SELECT event_id, value FROM events WHERE event_id % 5 != 0

@@ -424,7 +424,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
-    priority=100,
+    priority=50,
     oracle="""
 WITH t AS (
   SELECT user_id, event_id, CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) AS tsec
@@ -478,7 +478,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "windowed_event_counts",
-    priority=100,
+    priority=50,
     oracle="""
 SELECT (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) - (CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) % 3600))
          AS window_start,
@@ -512,7 +512,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_salted_rollup",
-    priority=100,
+    priority=50,
     oracle="""
 SELECT event_type,
        count(*) AS n,
@@ -557,7 +557,7 @@ _KLAT_MULT = 1 << 29
 
 @register(
     "tile_kring_counts",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 enc AS (
@@ -623,7 +623,7 @@ def tile_kring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cell_geodesic_metrics",
-    priority=100,
+    priority=50,
     # The iterative quadrature kernel cannot be spelled in SQL; the oracle
     # reads the pinned 5,040-row sidecar generated by
     # tools/gen_geodesic_sidecar.py from the INDEPENDENT numpy twin
@@ -687,7 +687,7 @@ def cell_geodesic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ipp_slant",
-    priority=100,
+    priority=50,
     # JVM and libm transcendentals can differ in the last ulp, so the
     # DuckDB oracle reads a pinned parquet sidecar generated from THIS
     # query's own output (tools/gen_ipp_sidecar.py) while tests/test_ipp.py
@@ -729,7 +729,7 @@ _TP2 = f"""
 
 @register(
     "grid_3x3_mean",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS (
   SELECT slot, lat_i, lon_i,
@@ -790,7 +790,7 @@ def grid_3x3_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grid_resample",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH newpts AS (
   SELECT cast(floor(g.range / 145) as bigint) AS lat_j,
@@ -846,7 +846,7 @@ FROM (SELECT unnest(range(0, 12)) AS w)
 
 @register(
     "range_join_windows",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 win AS ({_WINDOWS_SQL})
@@ -886,7 +886,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "median_value_by_type",
-    priority=100,
+    priority=50,
     oracle="""
 WITH r AS (
   SELECT event_type, value,
@@ -947,7 +947,7 @@ _IRREG_EPOCHS = "SELECT (s.s * s.s * 600) AS esec FROM (SELECT unnest(range(0, 1
 
 @register(
     "asof_irregular",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 ep AS ({_IRREG_EPOCHS}),
@@ -990,7 +990,7 @@ def _tec_at(slot_expr: str) -> str:
 
 @register(
     "temporal_interp_irregular",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 ep AS (SELECT (s.s * s.s * 600) AS esec, s.s AS slot
@@ -1042,7 +1042,7 @@ def temporal_interp_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_points",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 q AS (SELECT id AS qid, lat AS q_lat, lon AS q_lon FROM pts
@@ -1123,7 +1123,7 @@ SELECT poly_id, cell6, lat_c, lon_c FROM hits WHERE crossings % 2 = 1
 """
 
 
-@register("tile_polyfill", oracle=_polyfill_oracle(), priority=100)
+@register("tile_polyfill", oracle=_polyfill_oracle(), priority=50)
 def tile_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon POLYFILL (H3 polyfill analog): the set of res-6 hierarchical
     tiles whose CENTER falls inside each fixture polygon — the
@@ -1164,7 +1164,7 @@ def tile_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "radius_search_sites",
-    priority=100,
+    priority=50,
     # JVM and libm transcendentals differ in the last ulp, so the DuckDB
     # oracle reads a pinned sidecar generated from this query's output
     # (tools/gen_radius_sidecar.py) while tests/test_geo.py independently
@@ -1252,7 +1252,7 @@ WHERE tecu IS NOT NULL OR (_v0 IS NOT NULL AND _v1 IS NOT NULL)
 """
 
 
-@register("gap_fill_epochs", oracle=_gapfill_oracle(), priority=100)
+@register("gap_fill_epochs", oracle=_gapfill_oracle(), priority=50)
 def gap_fill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch GAP FILLING: a per-cell TEC time series with ~20% of slots
     deterministically knocked out is repaired by linear interpolation
@@ -1298,7 +1298,7 @@ FROM enc GROUP BY 1
 """
 
 
-@register("zorder_blocks", oracle=_zorder_oracle(), priority=100)
+@register("zorder_blocks", oracle=_zorder_oracle(), priority=50)
 def zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER layout audit: encode every point's grid cell as a Morton
     key (operators/tiles.morton_sql — bit-interleaved lat_i/lon_i) and
@@ -1382,7 +1382,7 @@ UNION ALL SELECT 4 AS res, lat_i, lon_i FROM c4
 """
 
 
-@register("tile_compact", oracle=_compact_oracle(), priority=100)
+@register("tile_compact", oracle=_compact_oracle(), priority=50)
 def tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-style COMPACT of a polygon tile cover: the res-6 polyfill of
     the rect + concave fixture polygons, with every complete 2x2 child
@@ -1408,7 +1408,7 @@ def tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_tracks",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 ev AS (
@@ -1489,7 +1489,7 @@ def user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tile_coverage_gaps",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 occupied AS (
@@ -1533,7 +1533,7 @@ _IFB_N = 4000
 
 @register(
     "ionex_file_bilinear",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH p0 AS (SELECT g.range AS id, (g.range % 3) AS slot FROM range({_IFB_N}) g),
 pts AS (
@@ -1603,7 +1603,7 @@ def ionex_file_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quartiles_value_by_type",
-    priority=100,
+    priority=50,
     oracle="""
 WITH r AS (
   SELECT event_type, value,
@@ -1951,7 +1951,7 @@ def zonal_stats_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "attribution_interval_join",
-    priority=100,
+    priority=50,
     oracle="""
 WITH t AS (
   SELECT user_id, event_id, event_type,
