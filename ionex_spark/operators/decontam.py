@@ -29,11 +29,18 @@ def contamination_hits(
     id_col: str = "doc_id",
     bench_id_col: str = "bench_id",
     text_col: str = "text",
+    exclude_self_ids: bool = False,
 ) -> DataFrame:
     """Per-corpus-doc contamination rollup: (doc_id, n_shared_shingles,
     n_bench_docs) for every document sharing >= 1 distinct word n-gram
     with any benchmark document.  Clean documents produce no row.
-    Corpus docs that ARE benchmark docs (same id) are not self-matched."""
+
+    ``exclude_self_ids`` skips pairs whose corpus id equals the bench id
+    numerically.  It is OFF by default: with an EXTERNAL eval set the id
+    spaces are unrelated, and an accidental collision would silently
+    exempt that corpus doc from comparison against that bench doc — a
+    decontamination leak.  Turn it on ONLY when bench is a subset of the
+    corpus sharing the same id space (the gate query's setup)."""
     c = shingles_exploded(corpus, id_col, text_col, n=n).dropDuplicates(
         [id_col, "token"]
     )
@@ -41,9 +48,9 @@ def contamination_hits(
         shingles_exploded(bench, bench_id_col, text_col, n=n)
         .dropDuplicates([bench_id_col, "token"])
     )
-    hits = c.join(F.broadcast(b), "token").filter(
-        F.col(id_col) != F.col(bench_id_col)
-    )
+    hits = c.join(F.broadcast(b), "token")
+    if exclude_self_ids:
+        hits = hits.filter(F.col(id_col) != F.col(bench_id_col))
     return hits.groupBy(id_col).agg(
         F.countDistinct("token").alias("n_shared_shingles"),
         F.countDistinct(bench_id_col).alias("n_bench_docs"),

@@ -125,14 +125,25 @@ def kmv_distinct(
     Output: group_cols + (n_seen, kth_min, est_distinct)."""
     from ionex_spark.operators.dedup import token_hash_sql
 
-    g = ", ".join(group_cols)
     h = token_hash_sql(value_col, KMV_SEED, backend)
-    hashes = df.selectExpr(g, f"{h} as hv").dropDuplicates(
+    if backend == "xxhash64":
+        # xxhash64 is signed 64-bit; the estimator needs hashes uniform
+        # on [0, 2^60).  2^64 is an exact multiple of 2^60, so pmod
+        # folds the signed domain into [0, 2^60) perfectly uniformly.
+        h = f"pmod({h}, {1 << 60})"
+    elif backend != "md5":
+        raise ValueError(
+            f"kmv_distinct backend must be 'md5' or 'xxhash64', got {backend!r}"
+        )
+    # NB: each selectExpr argument is ONE expression — pass group columns
+    # individually; the comma-join is only valid inside OVER(PARTITION BY).
+    part = ", ".join(group_cols)
+    hashes = df.selectExpr(*group_cols, f"{h} as hv").dropDuplicates(
         [*group_cols, "hv"]
     )
     ranked = hashes.selectExpr(
-        g, "hv",
-        f"row_number() over (partition by {g} order by hv) as rk",
+        *group_cols, "hv",
+        f"row_number() over (partition by {part} order by hv) as rk",
     ).filter(f"rk <= {k}")
     return ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_seen"),

@@ -265,6 +265,16 @@ def repetition_stats(
 
 # -------------------------------------------------- iterative BPE training
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for use inside a Spark SQL '...' literal.
+
+    Backslash FIRST: it is itself the escape character in Spark SQL
+    string literals, so a merge symbol containing a backslash (paths are
+    plausible winners in real corpora) would otherwise produce a wrong
+    or unparseable literal and corrupt the merge fold."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
@@ -323,7 +333,7 @@ def bpe_train(
             break
         a, b = top[0].p.a, top[0].p.b
         merges.append((a, b))
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qa, qb = _sql_str(a), _sql_str(b)
         # greedy left-to-right merge of (a,b) -> ab inside each symbol
         # array, as one fold: state = (emitted symbols, pending symbol)
         merge = f"""
@@ -373,7 +383,7 @@ def bpe_encode(
         " as words",
     )
     for a, b in merges:
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qa, qb = _sql_str(a), _sql_str(b)
         merge = f"""
 transform(words, syms -> aggregate(
   syms,

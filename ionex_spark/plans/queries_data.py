@@ -1295,7 +1295,9 @@ def decontam_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter("doc_id % 97 = 0").selectExpr(
         "doc_id as bench_id", "text"
     )
-    return contamination_hits(docs, bench, n=3)
+    # bench IS a corpus subset sharing the id space here, so self-pairs
+    # are true self-matches; the external-eval job path leaves this off
+    return contamination_hits(docs, bench, n=3, exclude_self_ids=True)
 
 
 # ------------------------------------------------ n-gram repetition ratio

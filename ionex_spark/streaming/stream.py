@@ -317,7 +317,11 @@ def streaming_interval_join(
     horizon, not the stream (the mandatory shape for an unbounded
     stream-stream join; without the time bound state grows forever).
 
-    Expects (user_id, view_id/click_id, view_ts/click_ts) columns."""
+    Column contract: ``views`` must carry (v_user_id, view_id, view_ts)
+    and ``clicks`` (c_user_id, click_id, click_ts) — the user-id columns
+    are PRE-RENAMED on each side (the join expression references
+    v_user_id/c_user_id directly; a shared 'user_id' name would be
+    ambiguous in the join condition).  Output re-exposes user_id."""
     v = views.withWatermark("view_ts", watermark)
     c = clicks.withWatermark("click_ts", watermark)
     return v.join(

@@ -826,6 +826,89 @@ def test_kmv_distinct_accuracy_and_exact_regime(spark):
     assert got.loc["big", "n_seen"] == 64
 
 
+def test_kmv_distinct_multi_group_and_backends(spark):
+    """Multi-column group_cols (round-4 advice: the comma-joined
+    selectExpr only ever worked for one column) + xxhash64 backend
+    normalization into [0, 2^60) + unknown-backend rejection."""
+    import pytest as _pytest
+
+    from ionex_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(400).selectExpr(
+        "cast(id % 2 as string) as a",
+        "cast(cast(id % 3 as int) as string) as b",
+        "id as v",
+    )
+    got = (
+        kmv_distinct(df, ["a", "b"], "v", k=16)
+        .toPandas()
+        .set_index(["a", "b"])
+        .sort_index()
+    )
+    assert len(got) == 6  # 2x3 groups, each keyed independently
+    # every (a,b) group has 66-67 distinct v's -> sketch regime at k=16
+    assert (got["n_seen"] == 16).all()
+    assert ((got["est_distinct"] > 30) & (got["est_distinct"] < 140)).all()
+
+    # xxhash64 backend: signed hashes are folded into [0, 2^60), so the
+    # kth_min can never be negative and the estimate stays sane
+    gx = kmv_distinct(df, ["a"], "v", k=16, backend="xxhash64").toPandas()
+    assert (gx["kth_min"] >= 0).all()
+    assert ((gx["est_distinct"] > 60) & (gx["est_distinct"] < 800)).all()
+
+    with _pytest.raises(ValueError, match="backend"):
+        kmv_distinct(df, ["a"], "v", backend="murmur3")
+
+
+def test_bpe_merge_symbols_with_backslash_and_quote(spark):
+    """A winning merge pair containing a backslash (or quote) must be
+    escaped into the SQL fold correctly (round-4 advice: backslash is
+    the Spark SQL escape character and was not itself escaped)."""
+    from ionex_spark.operators.text import bpe_encode, bpe_train
+
+    corpus = [
+        (1, r"c:\x c:\x c:\x c:\x"),
+        (2, "it's it's it's"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    merges, vocab = bpe_train(docs, n_merges=6)
+    seg = {"".join(r.syms): list(r.syms) for r in vocab.collect()}
+    # the fold actually merged backslash-containing symbols
+    assert any("\\" in a or "\\" in b for a, b in merges)
+    assert any(len(s) > 1 and "\\" in s for s in seg[r"c:\x"])
+    enc = bpe_encode(docs, merges).toPandas().set_index("doc_id")
+    for doc_id, text in corpus:
+        got = list(enc.loc[doc_id, "bpe_tokens"])
+        assert "".join(got) == text.replace(" ", ""), doc_id
+
+
+def test_contamination_id_collision_is_not_exempt_by_default(spark):
+    """External eval sets have unrelated id spaces: a corpus doc whose id
+    numerically collides with a bench id must still be compared (round-4
+    advice: the old unconditional self-exclusion leaked such docs)."""
+    from ionex_spark.operators.decontam import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we ask about the quick brown fox jumps today")],
+        "bench_id bigint, text string",
+    )
+    # default: collision pair IS compared -> contamination detected
+    got = contamination_hits(corpus, bench, n=3).toPandas()
+    assert list(got["doc_id"]) == [100]
+    assert got.loc[0, "n_shared_shingles"] == 3
+    # opt-in self-exclusion (bench subset of corpus): pair skipped
+    assert (
+        contamination_hits(
+            corpus, bench, n=3, exclude_self_ids=True
+        ).count()
+        == 0
+    )
+
+
 def test_quartiles_hand_computed(spark, tmp_path):
     """Type-1 quantiles: value at rank ceil(p*n)."""
     from ionex_spark.plans.queries_ref import quartiles_value_by_type
