@@ -193,3 +193,69 @@ def bracket_w1_sql(tsec: str) -> str:
 
 def bracket_valid_sql(w1: str = "w1") -> str:
     return f"(({w1}) >= {D(0.0)} and ({w1}) <= {D(1.0)})"
+
+
+# ------------------------------------------------- altitude (height) axis
+
+@dataclass(frozen=True)
+class AltSpec:
+    """3-D IONEX height grid (reference `MAP DIMENSION 3`,
+    src/header/mod.rs:64-70 + with_altitude_grid at :222-225): bottom
+    plane h0 km, dh km spacing, nh planes.  The reference parses the
+    axis but leaves computing over it TODO (src/record/parsing.rs:
+    174-175); the engine completes it with trilinear interpolation."""
+
+    h0: float = 200.0
+    dh: float = 50.0
+    nh: int = 5
+
+
+ALT = AltSpec()
+
+
+def alt_from_id_sql(id_col: str) -> str:
+    """Deterministic altitude in [h0, h0 + (nh-1)*dh) km from an id."""
+    span10 = int((ALT.nh - 1) * ALT.dh * 10)  # tenth-km quantized span
+    return f"({D(ALT.h0)} + ((({id_col}) * 7907) % {span10}) / {D(10.0)})"
+
+
+def alt_idx_sql(alt: str) -> str:
+    """Height-plane index, clamped to [0, nh-2] like the lat/lon axes
+    (grid-edge clamping, src/linspace.rs:163-179)."""
+    a = ALT
+    return (
+        f"greatest(least(cast(floor((({alt}) - {D(a.h0)}) / {D(a.dh)}) as"
+        f" bigint), {a.nh - 2}), 0)"
+    )
+
+
+def frac_r_sql(alt: str, alt_i: str) -> str:
+    """Fractional position inside the height cell, in [0, 1]."""
+    return (
+        f"((({alt}) - ({D(ALT.h0)} + ({alt_i}) * {D(ALT.dh)})) / {D(ALT.dh)})"
+    )
+
+
+def corner_tec3_sql(lat_i: str, lon_i: str, alt_i: str, slot: str) -> str:
+    """Synthetic 3-D TEC field: the 2-D integer field plus an alt_i term
+    (exponent -1), so every height plane is a distinct deterministic map."""
+    return (
+        f"((((({lat_i}) * 31 + ({lon_i}) * 17 + ({alt_i}) * 7"
+        f" + ({slot}) * 13) % 500) + 10) / {D(10.0)})"
+    )
+
+
+def trilinear_sql(
+    p: str,
+    q: str,
+    r: str,
+    lo: tuple[str, str, str, str],
+    hi: tuple[str, str, str, str],
+) -> str:
+    """Trilinear = linear-in-altitude combine of the reference's exact
+    bilinear kernel (src/cell/mod.rs:421-429) evaluated at the two
+    bounding height planes — the §2.8 temporal-combine shape applied to
+    the third grid axis."""
+    b_lo = bilinear_sql(p, q, *lo)
+    b_hi = bilinear_sql(p, q, *hi)
+    return f"(({D(1.0)} - ({r})) * {b_lo} + ({r}) * {b_hi})"

@@ -77,3 +77,49 @@ def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"))
         .limit(top)
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    entropy_col: str = "id",
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe BIG-BIG equi-join (the salting ladder's join rung).
+
+    When the dimension side is too large to broadcast, a shuffle join on
+    a Zipfian key puts every hot-key fact row in ONE task.  Classic
+    remedy: salt the fact side into ``n_salts`` buckets from a
+    high-entropy attribute, replicate each dim row once per salt
+    (explode), and equi-join on (key, salt) — the hot key's probe work
+    spreads over ``n_salts`` tasks at the cost of an n_salts-times
+    larger dim shuffle (dim is the smaller side, so that product is
+    bounded).  Join semantics are EXACTLY the unsalted join's: every
+    (fact, dim) key match meets in exactly one salt bucket.
+
+    The fact side is hinted shuffle_hash so the optimizer cannot
+    "rescue" small test inputs with a broadcast and hide the skew path
+    being exercised; at real big-big scale the hint also picks hash
+    over sort-merge (no sort of the giant fact side).  AQE skew-split
+    stays on as backstop for residual bucket imbalance.
+
+    ``how`` may be inner or left (fact-preserving): an unmatched fact
+    row lives in exactly one salt bucket, so it surfaces exactly once.
+    Dim-preserving joins (right/full) are rejected — an unmatched dim
+    row exists in ALL n_salts replicas and would surface n_salts times;
+    salt the other side instead."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}"
+        )
+    f = with_salt(facts, n_salts, entropy_col)
+    d = dim.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    )
+    return (
+        f.hint("shuffle_hash")
+        .join(d, [*key_cols, "salt"], how)
+        .drop("salt")
+    )

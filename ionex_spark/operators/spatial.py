@@ -392,3 +392,95 @@ def gap_fill_series(
         f"cast(case when {value_col} is null then 1 else 0 end as int)"
         " as was_gap",
     ).filter(f"{value_col}_filled is not null")
+
+
+# ------------------------------------------------- 3-D (height-axis) grid
+
+def packed_key3_expr(
+    slot: str = "slot",
+    alt_i: str = "alt_i",
+    lat_i: str = "lat_i",
+    lon_i: str = "lon_i",
+) -> str:
+    """Pack (slot, alt_i, lat_i, lon_i) into ONE bigint join key — the
+    3-D twin of packed_key_expr (same LongHashedRelation rationale)."""
+    ncells = (GRID.nlat - 1) * (GRID.nlon - 1)
+    nalt = sqlgen.ALT.nh - 1
+    return (
+        f"(((({slot}) * {nalt} + ({alt_i})) * {ncells})"
+        f" + ({lat_i}) * {GRID.nlon - 1} + ({lon_i}))"
+    )
+
+
+def build_tec_cells_3d(
+    spark: SparkSession, n_slots: int | None = None
+) -> DataFrame:
+    """Cell dimension for a `MAP DIMENSION 3` grid (src/header/mod.rs:
+    64-70): one row per (slot, height-cell, lat-cell, lon-cell) carrying
+    the 8 corner TECs of BOTH bounding height planes, so the trilinear
+    point query costs a SINGLE broadcast probe per row (the
+    build_tec_cell_pairs trick applied to the altitude axis).
+
+    Size: slots x (nh-1) x 70 x 72 cells — a worldwide 3-D day is still
+    only a few hundred MB of broadcast state at double precision, far
+    below executor memory; at larger height grids, restrict n_slots or
+    feed a pre-filtered plane range."""
+    n_slots = n_slots or GRID.n_slots
+    ncl, ncn = GRID.nlat - 1, GRID.nlon - 1
+    nalt = sqlgen.ALT.nh - 1
+    per_slot = nalt * ncl * ncn
+    df = spark.range(n_slots * per_slot).selectExpr(
+        f"cast(id / {per_slot} as bigint) as slot",
+        f"cast((id % {per_slot}) / {ncl * ncn} as bigint) as alt_i",
+        f"cast((id % {ncl * ncn}) / {ncn} as bigint) as lat_i",
+        f"id % {ncn} as lon_i",
+    )
+    corners = {}
+    for tag, ai in (("lo", "alt_i"), ("hi", "(alt_i + 1)")):
+        for c, (la, lo) in {
+            "sw": ("lat_i", "lon_i"),
+            "se": ("lat_i", "(lon_i + 1)"),
+            "nw": ("(lat_i + 1)", "lon_i"),
+            "ne": ("(lat_i + 1)", "(lon_i + 1)"),
+        }.items():
+            corners[f"{c}_{tag}"] = sqlgen.corner_tec3_sql(la, lo, ai, "slot")
+    return df.selectExpr(
+        "slot", "alt_i", "lat_i", "lon_i",
+        *[f"{expr} as {name}" for name, expr in corners.items()],
+    )
+
+
+def trilinear_join(
+    points: DataFrame,
+    cells3: DataFrame,
+    slot_col: str = "slot",
+    lat: str = "lat",
+    lon: str = "lon",
+    alt: str = "alt",
+    out: str = "tec",
+) -> DataFrame:
+    """points x broadcast(3-D cells) equi-join on the packed 3-D key +
+    trilinear interpolation: bilinear (reference kernel) at the two
+    bounding height planes, linear combine in altitude.  Completes the
+    reference's parsed-but-never-computed height axis
+    (src/record/parsing.rs:174-175) with the same plan shape as the 2-D
+    flagship: narrow arithmetic index, one broadcast hash probe, no
+    shuffle at any point-table scale."""
+    p = with_cell_index(points, lat, lon).withColumns(
+        {
+            "alt_i": F.expr(sqlgen.alt_idx_sql(alt)),
+        }
+    ).withColumn("ck", F.expr(packed_key3_expr(slot_col)))
+    c = cells3.withColumn("ck", F.expr(packed_key3_expr())).drop(
+        "slot", "alt_i", "lat_i", "lon_i"
+    )
+    j = p.join(F.broadcast(c), "ck", "inner").drop("ck")
+    expr = sqlgen.trilinear_sql(
+        sqlgen.frac_p_sql(lat, "lat_i"),
+        sqlgen.frac_q_sql(lon, "lon_i"),
+        sqlgen.frac_r_sql(alt, "alt_i"),
+        ("sw_lo", "se_lo", "nw_lo", "ne_lo"),
+        ("sw_hi", "se_hi", "nw_hi", "ne_hi"),
+    )
+    drop = [f"{c}_{t}" for t in ("lo", "hi") for c in ("sw", "se", "nw", "ne")]
+    return j.withColumn(out, F.expr(expr)).drop(*drop)

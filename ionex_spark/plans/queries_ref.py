@@ -1995,3 +1995,136 @@ def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.selectExpr(
         "user_id", "view_id", "click_id", "(click_t - view_t) as lag_s"
     )
+
+
+# ------------------------------------- trilinear altitude interpolation
+
+_ALT_PTS_SQL = (
+    "SELECT "
+    + ", ".join(
+        f"{expr} AS {name}"
+        for name, expr in {
+            "id": "event_id",
+            "lat": sqlgen.lat_from_id_sql("event_id"),
+            "lon": sqlgen.lon_from_id_sql("event_id"),
+            "alt": sqlgen.alt_from_id_sql("event_id"),
+            "slot": sqlgen.slot_from_id_sql("event_id"),
+        }.items()
+    )
+    + " FROM events"
+)
+
+_TEC3_ORACLE = sqlgen.trilinear_sql(
+    sqlgen.frac_p_sql("lat", "lat_i"),
+    sqlgen.frac_q_sql("lon", "lon_i"),
+    sqlgen.frac_r_sql("alt", "alt_i"),
+    tuple(
+        sqlgen.corner_tec3_sql(la, lo, "alt_i", "slot")
+        for la, lo in (
+            ("lat_i", "lon_i"),
+            ("lat_i", "(lon_i + 1)"),
+            ("(lat_i + 1)", "lon_i"),
+            ("(lat_i + 1)", "(lon_i + 1)"),
+        )
+    ),
+    tuple(
+        sqlgen.corner_tec3_sql(la, lo, "(alt_i + 1)", "slot")
+        for la, lo in (
+            ("lat_i", "lon_i"),
+            ("lat_i", "(lon_i + 1)"),
+            ("(lat_i + 1)", "lon_i"),
+            ("(lat_i + 1)", "(lon_i + 1)"),
+        )
+    ),
+)
+
+
+@register(
+    "alt_interp_trilinear",
+    priority=100,
+    oracle=f"""
+WITH pts AS ({_ALT_PTS_SQL}),
+idx AS (
+  SELECT id, lat, lon, alt, slot,
+         {sqlgen.lat_idx_sql('lat')} AS lat_i,
+         {sqlgen.lon_idx_sql('lon')} AS lon_i,
+         {sqlgen.alt_idx_sql('alt')} AS alt_i
+  FROM pts
+)
+SELECT id, slot, alt_i, lat_i, lon_i, {_TEC3_ORACLE} AS tec
+FROM idx
+""",
+)
+def alt_interp_trilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRILINEAR interpolation over a `MAP DIMENSION 3` height grid: the
+    reference parses the altitude axis (src/header/mod.rs:64-70,
+    with_altitude_grid :222-225) but leaves computing over height maps
+    TODO (src/record/parsing.rs:174-175); this completes the axis —
+    bilinear (the exact src/cell/mod.rs:421-429 kernel) at both bounding
+    height planes + linear combine in altitude, via ONE broadcast probe
+    of the 3-D cell dimension on a packed 4-component long key.  Same
+    shuffle-free 100 TB shape as the 2-D flagship."""
+    from ionex_spark.operators import spatial
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    pts = ev.selectExpr(
+        "event_id as id",
+        f"{sqlgen.lat_from_id_sql('event_id')} as lat",
+        f"{sqlgen.lon_from_id_sql('event_id')} as lon",
+        f"{sqlgen.alt_from_id_sql('event_id')} as alt",
+        f"{sqlgen.slot_from_id_sql('event_id')} as slot",
+    )
+    cells3 = spatial.build_tec_cells_3d(spark)
+    out = spatial.trilinear_join(pts, cells3)
+    return out.select("id", "slot", "alt_i", "lat_i", "lon_i", "tec")
+
+
+# ------------------------------------------------ salted big-big join
+
+@register(
+    "skew_salted_join",
+    priority=100,
+    oracle="""
+WITH facts AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 < 9 THEN CAST(0 AS BIGINT)
+              ELSE event_id % 50 END AS k,
+         event_id % 1000 AS fv
+  FROM events
+),
+dim AS (SELECT g.range AS k, g.range * 7 + 3 AS dv FROM range(50) g)
+SELECT f.k,
+       count(*) AS n,
+       CAST(sum(CAST(f.fv + d.dv AS DECIMAL(38,0))) AS BIGINT) AS sum_fp
+FROM facts f JOIN dim d ON f.k = d.k
+GROUP BY 1
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED BIG-BIG JOIN gate row (the salting ladder's join rung —
+    round-4 verdict task #5): ~90% of fact rows share join key 0
+    (Zipfian hot key), the dim side is joined via
+    operators/skew.salted_join — fact side salted 8 ways, dim rows
+    replicated once per salt, equi-join on (key, salt) under a
+    shuffle_hash hint so no broadcast can hide the skew path.  The
+    oracle is the PLAIN unsalted join: identical semantics is the whole
+    claim.  Integer fixed-point sum keeps the rollup order-independent
+    and bit-exact."""
+    from ionex_spark.operators import skew
+
+    facts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "case when event_id % 10 < 9 then cast(0 as bigint)"
+        " else event_id % 50 end as k",
+        "event_id % 1000 as fv",
+    )
+    dim = spark.range(50).selectExpr("id as k", "id * 7 + 3 as dv")
+    j = skew.salted_join(
+        facts, dim, ["k"], n_salts=8, entropy_col="event_id"
+    )
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(fv + dv as decimal(38,0))) as bigint)"
+        ).alias("sum_fp"),
+    )

@@ -74,3 +74,59 @@ def test_hot_cells_detected_and_salted(spark):
     ]
     assert len(hot_groups) == 16  # hot cell spread over all 16 salts
     assert hot_groups["n"].max() < hot["n_rows"]  # no single task gets it all
+
+
+def test_salted_join_equals_plain_join_and_avoids_broadcast(spark):
+    from ionex_spark.operators import skew
+
+    facts = spark.range(20000).selectExpr(
+        "id",
+        "case when id % 10 < 9 then cast(0 as bigint) else id % 20 end as k",
+        "id % 97 as fv",
+    )
+    dim = spark.range(20).selectExpr("id as k", "id * 11 as dv")
+    j = skew.salted_join(facts, dim, ["k"], n_salts=4, entropy_col="id")
+    got = (
+        j.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fv").alias("s"),
+             F.sum("dv").alias("d"))
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = (
+        facts.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fv").alias("s"),
+             F.sum("dv").alias("d"))
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    # the physical plan must exercise the shuffle-join path: a broadcast
+    # would silently bypass the skew machinery on small test inputs
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_salted_join_outer_semantics(spark):
+    """Left-outer salted join keeps unmatched fact rows exactly once
+    (they match in exactly one salt bucket — or none)."""
+    from ionex_spark.operators import skew
+
+    facts = spark.createDataFrame(
+        [(1, 0, 5), (2, 99, 6)], "id bigint, k bigint, fv bigint"
+    )
+    dim = spark.createDataFrame([(0, 7)], "k bigint, dv bigint")
+    got = (
+        skew.salted_join(facts, dim, ["k"], n_salts=4, how="left")
+        .orderBy("id")
+        .toPandas()
+    )
+    assert len(got) == 2
+    assert got.loc[0, "dv"] == 7
+    assert got.loc[1, "dv"] != got.loc[1, "dv"] or got.loc[1, "dv"] is None  # NaN

@@ -240,3 +240,86 @@ def test_gap_fill_series_hand_computed(spark):
     b = got.loc["B"]
     assert list(b["tecu_filled"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
     assert (b["was_gap"] == 0).all()
+
+
+# ----------------------------------------- trilinear altitude interp
+
+def test_trilinear_matches_independent_numpy(spark):
+    """Independent evidence for the alt_interp family (the gate oracle
+    shares sqlgen fragments with the engine, so a fragment bug would
+    pass bit-exact — the round-3 median lesson): recompute the full
+    trilinear pipeline in plain numpy from the spec constants, never
+    touching sqlgen."""
+    import numpy as np
+
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import spatial
+
+    ids = np.arange(1, 400, 7, dtype=np.int64)
+    pts = spark.createDataFrame(
+        [(int(i),) for i in ids], "id bigint"
+    ).selectExpr(
+        "id",
+        f"{sqlgen.lat_from_id_sql('id')} as lat",
+        f"{sqlgen.lon_from_id_sql('id')} as lon",
+        f"{sqlgen.alt_from_id_sql('id')} as alt",
+        f"{sqlgen.slot_from_id_sql('id')} as slot",
+    )
+    got = (
+        spatial.trilinear_join(pts, spatial.build_tec_cells_3d(spark))
+        .select("id", "tec")
+        .toPandas()
+        .set_index("id")["tec"]
+    )
+
+    # --- independent numpy twin (spec constants only, no sqlgen) ---
+    lat = -87.5 + ((ids * 7919) % 1751) / 10.0
+    lon = -180.0 + ((ids * 104729) % 3600) / 10.0
+    alt = 200.0 + ((ids * 7907) % 2000) / 10.0
+    slot = (ids * 2654435761) % 25
+    lat_i = np.clip(np.floor((lat + 87.5) / 2.5).astype(np.int64), 0, 69)
+    lon_i = np.clip(np.floor((lon + 180.0) / 5.0).astype(np.int64), 0, 71)
+    alt_i = np.clip(np.floor((alt - 200.0) / 50.0).astype(np.int64), 0, 3)
+
+    def field(la, lo, ai, sl):
+        return (((la * 31 + lo * 17 + ai * 7 + sl * 13) % 500) + 10) / 10.0
+
+    p = (lat - (-87.5 + lat_i * 2.5)) / 2.5
+    q = (lon - (-180.0 + lon_i * 5.0)) / 5.0
+    r = (alt - (200.0 + alt_i * 50.0)) / 50.0
+    want = np.zeros(len(ids))
+    for w_r, ai in (((1 - r), alt_i), (r, alt_i + 1)):
+        bil = (
+            (1 - p) * (1 - q) * field(lat_i, lon_i, ai, slot)
+            + p * (1 - q) * field(lat_i, lon_i + 1, ai, slot)
+            + q * (1 - p) * field(lat_i + 1, lon_i, ai, slot)
+            + p * q * field(lat_i + 1, lon_i + 1, ai, slot)
+        )
+        want = want + w_r * bil
+    assert len(got) == len(ids)
+    np.testing.assert_allclose(got.loc[ids].to_numpy(), want, rtol=1e-12)
+
+
+def test_trilinear_plane_exactness_and_clamp(spark):
+    """At a height plane exactly (r=0 or the clamped top), trilinear
+    equals the plane's bilinear; hand-computed corner case."""
+    from ionex_spark.operators import spatial
+
+    # point exactly on plane alt=250 (alt_i=1, r=0) at a grid node
+    pts = spark.createDataFrame(
+        [(1, -87.5, -180.0, 250.0, 0), (2, -87.5, -180.0, 400.0, 0)],
+        "id bigint, lat double, lon double, alt double, slot bigint",
+    )
+    got = (
+        spatial.trilinear_join(pts, spatial.build_tec_cells_3d(spark, n_slots=1))
+        .select("id", "alt_i", "tec")
+        .toPandas()
+        .set_index("id")
+    )
+    # node (0,0) plane 1: ((0*31+0*17+1*7+0*13)%500+10)/10 = 1.7
+    assert got.loc[1, "tec"] == 1.7
+    assert got.loc[1, "alt_i"] == 1
+    # alt=400 = top plane: alt_i clamps to nh-2=3, r=1 -> plane-4 value
+    # ((4*7)%500+10)/10 = 3.8
+    assert got.loc[2, "alt_i"] == 3
+    assert abs(got.loc[2, "tec"] - 3.8) < 1e-12
