@@ -1686,3 +1686,110 @@ def bloom_filter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["token"])
     )
     return bloom_build(toks, "token", m_bits=4096, k=5, backend="md5")
+
+
+# ----------------------------------- tableio schema evolution + compaction
+
+@register(
+    "schema_evolution_rollup",
+    priority=100,
+    oracle="""
+WITH unioned AS (
+  SELECT event_id, value AS val, CAST(NULL AS DOUBLE) AS w
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, value * CAST(2.0 AS DOUBLE) AS val, value AS w
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT event_id % 4 AS grp,
+       count(*) AS n,
+       CAST(sum(CAST(floor(val * CAST(1000000.0 AS DOUBLE)) AS DECIMAL(38,0))) AS BIGINT) AS val_sum_fp,
+       count(w) AS n_w,
+       CAST(sum(CAST(floor(coalesce(w, CAST(0.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE)) AS DECIMAL(38,0))) AS BIGINT) AS w_sum_fp
+FROM unioned
+GROUP BY 1
+""",
+)
+def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION end-to-end through the real table layer
+    (sources/tableio.SnapshotTable, round-4 verdict task #3a): commit
+    half of events as (event_id, value), RENAME value->val + ADD column
+    w via a metadata-only snapshot, append the other half under the new
+    schema, then aggregate a read of the CURRENT snapshot — pre-
+    evolution files resolve the renamed column through its stable
+    column id and read the added column as NULL (Iceberg's field-id
+    contract).  The oracle recomputes the same union from raw events,
+    so a wrong id mapping (dropped rows, mis-bound columns, non-null
+    ghosts) breaks the bit-exact hash."""
+    import tempfile
+
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ionex_evo_"))
+    t.append(ev.filter("event_id % 2 = 0").select("event_id", "value"))
+    t.evolve_schema(add_columns={"w": "double"}, renames={"value": "val"})
+    t.append(
+        ev.filter("event_id % 2 = 1").selectExpr(
+            "event_id", "value * cast(2.0 as double) as val", "value as w"
+        )
+    )
+    cur = t.read(spark)
+    return cur.groupBy((F.col("event_id") % 4).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(floor(val * cast(1000000.0 as double))"
+            " as decimal(38,0))) as bigint)"
+        ).alias("val_sum_fp"),
+        F.count("w").alias("n_w"),
+        F.expr(
+            "cast(sum(cast(floor(coalesce(w, cast(0.0 as double))"
+            " * cast(1000000.0 as double)) as decimal(38,0))) as bigint)"
+        ).alias("w_sum_fp"),
+    )
+
+
+@register(
+    "compacted_snapshot_rollup",
+    priority=100,
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * CAST(1000000.0 AS DOUBLE)) AS DECIMAL(38,0))) AS BIGINT) AS value_sum_fp,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY 1
+""",
+)
+def compacted_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION end-to-end (round-4 verdict task #3b —
+    Iceberg's rewrite_data_files): commit events as 3 appends x 8
+    partitions = ~24 small files, compact to 2 files sorted by
+    event_id (range-partitioned rewrite = tight per-file min/max
+    footers, the measured Z-order scan-pruning layout), then aggregate
+    a read of the POST-compaction snapshot.  The oracle aggregates raw
+    events directly: compaction must be a pure layout change — any
+    lost/duplicated/reordered-into-wrongness row breaks bit-exactness.
+    Pre-compaction snapshots remain time-travelable (pytest-pinned)."""
+    import tempfile
+
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    t = SnapshotTable(tempfile.mkdtemp(prefix="ionex_compact_"))
+    for third in range(3):
+        t.append(ev.filter(f"event_id % 3 = {third}").repartition(8))
+    t.rewrite_data_files(spark, target_files=2, sort_by=["event_id"])
+    cur = t.read(spark)
+    return cur.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "cast(sum(cast(floor(value * cast(1000000.0 as double))"
+            " as decimal(38,0))) as bigint)"
+        ).alias("value_sum_fp"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -178,28 +178,54 @@ class SnapshotTable:
             chosen = matches[0]
         return chosen["files"]
 
-    # ----------------------------------------------------------- write/read
+    # --------------------------------------------------- schema tracking
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
-        """Write df as new parquet files + commit a child snapshot."""
-        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
-        files = [
-            os.path.join(stage, f)
-            for f in os.listdir(stage)
-            if f.endswith(".parquet")
+    def schema(self, snapshot_id: int | None = None) -> list[dict] | None:
+        """Column list [{'id', 'name', 'type'}] of a snapshot; None for
+        legacy snapshots committed before schema tracking.  Column ids
+        are stable across renames — the Iceberg field-id model: a rename
+        changes the NAME of an id, never remaps data."""
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        if snapshot_id is None:
+            return snaps[-1].get("schema")
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s.get("schema")
+        raise KeyError(f"unknown snapshot {snapshot_id}")
+
+    @staticmethod
+    def _derive_schema(df: DataFrame) -> list[dict]:
+        return [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(df.schema.fields)
         ]
-        parent = self.current_snapshot()
-        prev_files = parent["files"] if parent else []
-        sid = (parent["snapshot_id"] + 1) if parent else 1
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "timestamp": time.time(),
-            "files": prev_files + files,
-            "added_files": files,
-            "summary": summary or {},
-        }
+
+    def _schema_state(self, parent: dict | None, df: DataFrame):
+        """(schema, schema_id, schemas) for a data commit: reuse the
+        parent's current schema (validating df against it) or derive one
+        on first write / on a legacy table (whose existing files are
+        retro-tagged with the derived schema — they were all written
+        under it, schema change was impossible before tracking)."""
+        if parent and parent.get("schema"):
+            schema = parent["schema"]
+            want = {c["name"] for c in schema}
+            got = set(df.columns)
+            if got != want:
+                raise ValueError(
+                    f"dataframe columns {sorted(got)} do not match table"
+                    f" schema {sorted(want)}; use evolve_schema() to"
+                    " add/rename columns first"
+                )
+            return schema, parent["schema_id"], parent["schemas"]
+        schema = self._derive_schema(df)
+        return schema, 1, {"1": schema}
+
+    # ----------------------------------------------------------- commits
+
+    def _commit(self, manifest: dict) -> int:
+        sid = manifest["snapshot_id"]
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -214,16 +240,150 @@ class SnapshotTable:
         except FileExistsError as e:
             os.unlink(tmp)
             raise RuntimeError(
-                f"snapshot {sid} was committed concurrently; retry append"
+                f"snapshot {sid} was committed concurrently; retry"
             ) from e
         os.unlink(tmp)
         return sid
 
+    def _write_stage(self, df: DataFrame) -> list[str]:
+        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        return [
+            os.path.join(stage, f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet")
+        ]
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Write df as new parquet files + commit a child snapshot."""
+        parent = self.current_snapshot()
+        schema, schema_id, schemas = self._schema_state(parent, df)
+        # write columns in schema order so footers match across files
+        files = self._write_stage(df.select(*[c["name"] for c in schema]))
+        prev_files = parent["files"] if parent else []
+        prev_fs = (parent.get("file_schemas") or {}) if parent else {}
+        file_schemas = {
+            **{f: prev_fs.get(f, schema_id) for f in prev_files},
+            **{f: schema_id for f in files},
+        }
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        return self._commit(
+            {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "timestamp": time.time(),
+                "files": prev_files + files,
+                "added_files": files,
+                "schema": schema,
+                "schema_id": schema_id,
+                "schemas": schemas,
+                "file_schemas": file_schemas,
+                "summary": summary or {},
+            }
+        )
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        files = self._files_at(snapshot_id)
-        if not files:
+        snaps = self.snapshots()
+        if not snaps:
             raise ValueError("table has no snapshots")
-        return spark.read.parquet(*files)
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            matches = [s for s in snaps if s["snapshot_id"] == snapshot_id]
+            if not matches:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            snap = matches[0]
+        files = snap["files"]
+        target = snap.get("schema")
+        file_schemas = snap.get("file_schemas") or {}
+        schemas = snap.get("schemas") or {}
+        sids = {file_schemas.get(f, snap.get("schema_id")) for f in files}
+        if target is None or sids == {snap.get("schema_id")}:
+            # legacy table or single-schema file set: plain scan
+            return spark.read.parquet(*files)
+        # schema evolution in effect: read each write-schema's file group
+        # and reconcile it to the target schema BY COLUMN ID (renamed
+        # columns map through their id; columns added later become
+        # NULLs), then union.  Schema-version count is tiny (one per
+        # evolve call), so this is a handful of scan groups, not per-file
+        # work — the same shape Iceberg's read path produces.
+        from pyspark.sql import functions as F
+
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            groups.setdefault(file_schemas.get(f, snap["schema_id"]), []).append(f)
+        parts = []
+        for gsid, gfiles in sorted(groups.items()):
+            written = {c["id"]: c for c in schemas[str(gsid)]}
+            cols = []
+            for c in target:
+                w = written.get(c["id"])
+                if w is not None:
+                    cols.append(F.col(w["name"]).alias(c["name"]))
+                else:
+                    cols.append(
+                        F.lit(None).cast(c["type"]).alias(c["name"])
+                    )
+            parts.append(spark.read.parquet(*gfiles).select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def evolve_schema(
+        self,
+        add_columns: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Metadata-only schema commit: rename columns (ids preserved —
+        existing files never rewritten) and/or add columns (fresh ids;
+        they read as NULL from pre-evolution files).  Older snapshots
+        keep their own schema, so time travel returns the data exactly
+        as that snapshot defined it — Iceberg's schema-evolution
+        contract without touching a single data file."""
+        parent = self.current_snapshot()
+        if parent is None or not parent.get("schema"):
+            raise ValueError(
+                "evolve_schema requires an initialized schema-tracked"
+                " table (append at least once first)"
+            )
+        schema = [dict(c) for c in parent["schema"]]
+        names = {c["name"] for c in schema}
+        for old, new in (renames or {}).items():
+            if old not in names:
+                raise ValueError(f"cannot rename unknown column {old!r}")
+            if new in names:
+                raise ValueError(f"rename target {new!r} already exists")
+            for c in schema:
+                if c["name"] == old:
+                    c["name"] = new
+            names = {c["name"] for c in schema}
+        next_id = max(c["id"] for c in schema) + 1
+        for name, dtype in (add_columns or {}).items():
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            schema.append({"id": next_id, "name": name, "type": dtype})
+            next_id += 1
+            names.add(name)
+        schema_id = parent["schema_id"] + 1
+        schemas = {**parent["schemas"], str(schema_id): schema}
+        return self._commit(
+            {
+                "snapshot_id": parent["snapshot_id"] + 1,
+                "parent_id": parent["snapshot_id"],
+                "timestamp": time.time(),
+                "files": parent["files"],
+                "added_files": [],
+                "operation": "evolve-schema",
+                "schema": schema,
+                "schema_id": schema_id,
+                "schemas": schemas,
+                "file_schemas": parent.get("file_schemas")
+                or {f: parent["schema_id"] for f in parent["files"]},
+                "summary": summary or {},
+            }
+        )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
         """Commit a REPLACE snapshot: the new version's file set is only
@@ -231,36 +391,64 @@ class SnapshotTable:
         the parent's files).  Time travel to prior snapshots still works
         — old files are never deleted, exactly like Iceberg's
         copy-on-write overwrite."""
-        stage = os.path.join(self.data_dir, f"stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
-        files = [
-            os.path.join(stage, f)
-            for f in os.listdir(stage)
-            if f.endswith(".parquet")
-        ]
         parent = self.current_snapshot()
+        schema, schema_id, schemas = self._schema_state(parent, df)
+        files = self._write_stage(df.select(*[c["name"] for c in schema]))
         sid = (parent["snapshot_id"] + 1) if parent else 1
-        manifest = {
-            "snapshot_id": sid,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "timestamp": time.time(),
-            "files": files,
-            "added_files": files,
-            "operation": "overwrite",
-            "summary": summary or {},
-        }
-        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        final = os.path.join(self.meta_dir, f"snapshot-{sid:08d}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError as e:
-            os.unlink(tmp)
+        return self._commit(
+            {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "timestamp": time.time(),
+                "files": files,
+                "added_files": files,
+                "operation": "overwrite",
+                "schema": schema,
+                "schema_id": schema_id,
+                "schemas": schemas,
+                "file_schemas": {f: schema_id for f in files},
+                "summary": summary or {},
+            }
+        )
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        sort_by: list[str] | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Small-file COMPACTION — Iceberg's rewrite_data_files: read the
+        current snapshot, rewrite it as ``target_files`` parquet files
+        with IDENTICAL rows, and commit a replace snapshot.  Pre-
+        compaction snapshots stay time-travelable (files are never
+        deleted).  ``sort_by`` additionally range-partitions + sorts the
+        rewrite (pass the Z-order layout key from plans/layout.py to
+        pair compaction with the measured 2x scan-pruning win — each
+        output file then covers a tight spatial range, so min/max footer
+        stats prune).  At 100 TB this runs per partition-of-interest,
+        not whole-table; the commit protocol is identical."""
+        df = self.read(spark)
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(target_files)
+        parent = self.current_snapshot()
+        sid = self.overwrite(
+            df, summary={**(summary or {}), "op": "rewrite-data-files"}
+        )
+        # rewrite must not change row counts — cheap footer-level guard
+        before = spark.read.parquet(*parent["files"]).count()
+        after = spark.read.parquet(
+            *self._files_at(sid)
+        ).count()
+        if before != after:
             raise RuntimeError(
-                f"snapshot {sid} was committed concurrently; retry"
-            ) from e
-        os.unlink(tmp)
+                f"compaction changed row count {before} -> {after};"
+                " snapshot {sid} is suspect"
+            )
         return sid
 
     def upsert(

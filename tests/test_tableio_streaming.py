@@ -354,3 +354,107 @@ def test_incremental_rollup_maintenance(spark):
     )
     want = rollup(new).toPandas().set_index("g").sort_index()
     assert got.equals(want), (got, want)
+
+
+# ------------------------------------------------ schema evolution
+
+def test_schema_evolution_rename_add_and_time_travel(spark, tmp_path):
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.append(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, value double")
+    )
+    # rename value -> val, add w double
+    t.evolve_schema(add_columns={"w": "double"}, renames={"value": "val"})
+    s3 = t.append(
+        spark.createDataFrame(
+            [(3, 30.0, 0.5)], "id bigint, val double, w double"
+        )
+    )
+    cur = t.read(spark).orderBy("id").toPandas()
+    assert list(cur.columns) == ["id", "val", "w"]
+    assert list(cur["val"]) == [10.0, 20.0, 30.0]
+    # pre-evolution rows read the renamed column through its id; the
+    # added column is NULL for them
+    assert cur["w"].isna().tolist() == [True, True, False]
+    # time travel: snapshot 1 still reads under ITS schema
+    old = t.read(spark, s1).orderBy("id").toPandas()
+    assert list(old.columns) == ["id", "value"]
+    assert list(old["value"]) == [10.0, 20.0]
+    # appending with the OLD column name now fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        t.append(
+            spark.createDataFrame([(9, 1.0)], "id bigint, value double")
+        )
+    assert s3 == 3
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    from ionex_spark.sources.tableio import SnapshotTable
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    with _pytest.raises(ValueError, match="initialized"):
+        t.evolve_schema(add_columns={"x": "double"})
+    t.append(spark.createDataFrame([(1,)], "id bigint"))
+    with _pytest.raises(ValueError, match="unknown column"):
+        t.evolve_schema(renames={"nope": "x"})
+    with _pytest.raises(ValueError, match="already exists"):
+        t.evolve_schema(add_columns={"id": "double"})
+
+
+# ------------------------------------------------ small-file compaction
+
+def test_rewrite_data_files_compacts_and_preserves_data(spark, tmp_path):
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # 3 appends x 8 partitions = 24 small files
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 100).repartition(8).selectExpr(
+                "id", "id % 7 as k", "cast(id as double) as v"
+            )
+        )
+    pre = t.current_snapshot()
+    assert len(pre["files"]) >= 20
+    before = t.read(spark).orderBy("id").toPandas()
+
+    sid = t.rewrite_data_files(spark, target_files=2)
+    post = t.current_snapshot()
+    assert post["snapshot_id"] == sid
+    assert len(post["files"]) == 2
+    after = t.read(spark).orderBy("id").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+    # pre-compaction snapshot still time-travels to the small-file layout
+    assert len(t._files_at(pre["snapshot_id"])) == len(pre["files"])
+    assert t.read(spark, pre["snapshot_id"]).count() == 300
+
+
+def test_rewrite_data_files_sorted_layout_prunes(spark, tmp_path):
+    """sort_by produces non-overlapping per-file ranges: each output
+    file's footer min/max on the sort key covers a disjoint slice, the
+    precondition for parquet row-group pruning."""
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(1000).selectExpr("id", "(id * 37) % 1000 as zkey"))
+    t.rewrite_data_files(spark, target_files=4, sort_by=["zkey"])
+    from pyspark.sql import functions as Fn
+
+    files = t.current_snapshot()["files"]
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            Fn.min("zkey"), Fn.max("zkey")
+        ).collect()[0]
+        ranges.append((pdf[0], pdf[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint => footer stats prune
