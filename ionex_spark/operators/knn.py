@@ -104,6 +104,7 @@ def knn_points(
     corpus: DataFrame,
     k: int = 3,
     cell_deg: float = 5.0,
+    tag_path: bool = False,
 ) -> DataFrame:
     """EXACT kNN join of query points against an arbitrary point corpus
     (the general reading of the north_rule's kNN beyond the fixed grid;
@@ -127,6 +128,12 @@ def knn_points(
        fraction when cell_deg matches the data density, so the fallback
        crossJoin broadcasts a tiny query set.  Both paths produce the
        exact answer, so the union is exact regardless of the split.
+
+    Exactness is unconditional but COST is not: a pathological density
+    (most cells sparser than k) silently degrades toward brute force.
+    ``tag_path=True`` adds a ``path`` column ('cell' | 'brute') so the
+    operator's split is observable; ``knn_fallback_metrics`` rolls it up
+    into the fraction a 100 TB run must watch.
     """
     c = corpus.selectExpr(
         "cid",
@@ -190,4 +197,34 @@ def knn_points(
     fallback = rank_topk(c.crossJoin(F.broadcast(residual)))
 
     cols = ["qid", "rank", "cid", "dist2"]
-    return exact.select(*cols).unionByName(fallback.select(*cols))
+    if not tag_path:
+        return exact.select(*cols).unionByName(fallback.select(*cols))
+    return exact.select(*cols).withColumn(
+        "path", F.lit("cell")
+    ).unionByName(
+        fallback.select(*cols).withColumn("path", F.lit("brute"))
+    )
+
+
+def knn_fallback_metrics(tagged: DataFrame) -> DataFrame:
+    """Roll a ``knn_points(..., tag_path=True)`` result up into the
+    operator's observability row: how many queries took the certified
+    cell-ring path vs the brute-force fallback, and the fallback
+    fraction.  At 100 TB this is the one number that tells you whether
+    ``cell_deg`` matches the corpus density (fraction near 0) or the
+    operator is silently degrading to quadratic work (fraction near 1
+    — re-tune cell_deg)."""
+    per_q = tagged.select("qid", "path").distinct()
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.expr("case when path = 'cell' then 1 else 0 end")).alias(
+            "n_exact"
+        ),
+        F.sum(F.expr("case when path = 'brute' then 1 else 0 end")).alias(
+            "n_fallback"
+        ),
+        F.expr(
+            "cast(sum(case when path = 'brute' then 1 else 0 end)"
+            " as double) / cast(count(*) as double)"
+        ).alias("fallback_frac"),
+    )

@@ -2128,3 +2128,83 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(fv + dv as decimal(38,0))) as bigint)"
         ).alias("sum_fp"),
     )
+
+
+# ------------------------------------- knn_points fallback observability
+
+@register(
+    "knn_points_metrics",
+    priority=100,
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+qm AS (
+  SELECT id AS qid, lat AS q_lat, lon AS q_lon,
+         CAST(floor(lat / CAST(5.0 AS DOUBLE)) AS BIGINT) AS qcx,
+         CAST(floor(lon / CAST(5.0 AS DOUBLE)) AS BIGINT) AS qcy
+  FROM pts WHERE id % 97 = 0
+),
+q2 AS (
+  SELECT *,
+         least(q_lat - (qcx - 1) * CAST(5.0 AS DOUBLE),
+               (qcx + 2) * CAST(5.0 AS DOUBLE) - q_lat,
+               q_lon - (qcy - 1) * CAST(5.0 AS DOUBLE),
+               (qcy + 2) * CAST(5.0 AS DOUBLE) - q_lon) AS margin
+  FROM qm
+),
+c AS (
+  SELECT id AS cid, lat AS c_lat, lon AS c_lon,
+         CAST(floor(lat / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(lon / CAST(5.0 AS DOUBLE)) AS BIGINT) AS cy
+  FROM pts
+),
+scored AS (
+  SELECT q2.qid, q2.margin, c.cid,
+         (q2.q_lat - c.c_lat) * (q2.q_lat - c.c_lat)
+         + (q2.q_lon - c.c_lon) * (q2.q_lon - c.c_lon) AS dist2
+  FROM q2 JOIN c ON c.cx BETWEEN q2.qcx - 1 AND q2.qcx + 1
+                AND c.cy BETWEEN q2.qcy - 1 AND q2.qcy + 1
+  WHERE c.cid != q2.qid
+),
+topk AS (
+  SELECT * FROM (
+    SELECT qid, margin, dist2,
+           row_number() OVER (PARTITION BY qid ORDER BY dist2, cid) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+),
+cert AS (
+  SELECT qid, count(*) AS n_cand, max(dist2) AS kth2, min(margin) AS margin
+  FROM topk GROUP BY qid
+),
+split AS (
+  SELECT q2.qid,
+         CASE WHEN cert.n_cand = 3 AND cert.kth2 < cert.margin * cert.margin
+              THEN 1 ELSE 0 END AS is_exact
+  FROM q2 LEFT JOIN cert ON cert.qid = q2.qid
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(is_exact) AS BIGINT) AS n_exact,
+       CAST(sum(1 - is_exact) AS BIGINT) AS n_fallback,
+       CAST(sum(1 - is_exact) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS fallback_frac
+FROM split
+""",
+)
+def knn_points_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FALLBACK OBSERVABILITY for knn_points (round-4 verdict task #6):
+    the certificate split ('cell' certified vs 'brute' fallback) as a
+    metrics row — (n_queries, n_exact, n_fallback, fallback_frac).
+    The oracle RECOMPUTES the certificate independently in SQL (3x3
+    ring candidates, top-k window, kth-distance-vs-block-margin test),
+    so a drifted certificate in the engine breaks the hash even though
+    both paths return exact kNN rows."""
+    from ionex_spark.operators import knn as knn_ops
+    from ionex_spark.plans.queries import event_points
+
+    pts = event_points(spark, sf_dir)
+    corpus = pts.selectExpr("id as cid", "lat", "lon")
+    queries = pts.filter("id % 97 = 0").selectExpr("id as qid", "lat", "lon")
+    tagged = knn_ops.knn_points(
+        queries, corpus, k=3, cell_deg=5.0, tag_path=True
+    )
+    return knn_ops.knn_fallback_metrics(tagged)

@@ -276,6 +276,47 @@ def test_knn_points_exact_both_paths(spark):
             assert mine == want, (cell_deg, qid)
 
 
+def test_knn_fallback_metrics_pathological_sparse(spark):
+    """A corpus where most cells hold fewer than k points degrades
+    toward brute force: the fallback must STILL be exact, and the
+    metrics row must surface the (high) fallback fraction so a 100 TB
+    run can see the degradation (round-4 verdict task #6)."""
+    # 40 points spread one-per-cell at cell_deg=1.0 -> nearly every
+    # query fails the n_cand >= k certificate
+    rows = [(i, float(i * 3 + 0.5), float((i * 7) % 40) + 0.5) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "cid bigint, lat double, lon double")
+    queries = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo in rows if i % 2 == 0],
+        "qid bigint, lat double, lon double",
+    )
+    tagged = knn_ops.knn_points(
+        queries, corpus, k=3, cell_deg=1.0, tag_path=True
+    )
+    pdf = tagged.toPandas()
+    # every query took exactly one path
+    paths = pdf.groupby("qid")["path"].nunique()
+    assert (paths == 1).all()
+    m = knn_ops.knn_fallback_metrics(tagged).collect()[0]
+    assert m.n_queries == 20
+    assert m.n_exact + m.n_fallback == 20
+    assert m.fallback_frac > 0.8  # the pathological regime is visible
+    # and the fallback rows are still the exact kNN
+    lat = np.array([r[1] for r in rows])
+    lon = np.array([r[2] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    got = pdf.sort_values(["qid", "rank"])
+    for qid in range(0, 40, 2):
+        qi = int(np.flatnonzero(ids == qid)[0])
+        d2 = (lat - lat[qi]) ** 2 + (lon - lon[qi]) ** 2
+        order = sorted(
+            (float(d2[j]), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != qid
+        )
+        want = [cid for _, cid in order[:3]]
+        assert got[got["qid"] == qid]["cid"].tolist() == want, qid
+
+
 def test_connected_components_chain_and_convergence_guard(spark):
     """A 30-doc chain is one group (label = min id) when max_iter covers
     the diameter, and raises instead of silently splitting when not."""
