@@ -275,6 +275,15 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
     labels = labels.localCheckpoint(eager=True)
+    # iteration shuffle width sized to the graph, not the session: on a
+    # tiny verified-pair graph full-width rounds are pure fixed overhead
+    # (the star variant's measurement); a huge graph keeps full width
+    spark = labels.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(
+        1,
+        min(default_parts, (sym.count() + labels.count()) // 500_000 + 1),
+    )
     # Convergence check: for INTEGRAL ids, labels only ever DECREASE, so
     # sum(label) is strictly decreasing until the fixpoint — one cheap
     # aggregate per round on the already-checkpointed frame.  The shortcut
@@ -312,6 +321,9 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(incoming)
+            # explicit width: the following aggregate reuses this
+            # hash partitioning (partial+final, no further exchange)
+            .repartition(parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -332,11 +344,50 @@ def connected_components(
     return labels.selectExpr(f"node as {id_col}", "label as group_id")
 
 
+def _cc_local_unionfind(edges: DataFrame) -> DataFrame:
+    """Solve connected components in ONE task: path-compressed
+    union-find with union-by-minimum, over the whole (coalesced) edge
+    set.  Exact for any orderable id type; roots are component minima.
+    Output: (u, root) for every node incident to an edge."""
+    import pandas as pd
+
+    id_type = edges.schema["u"].dataType.simpleString()
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru  # larger root under smaller: root=min
+        yield pd.DataFrame(
+            {"u": list(parent), "root": [find(x) for x in parent]}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        uf, f"u {id_type}, root {id_type}"
+    )
+
+
 def connected_components_star(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -357,37 +408,37 @@ def connected_components_star(
     Requires ids orderable by min(); works for any orderable type (the
     sum-shortcut subtlety of the label-propagation variant does not
     apply — convergence is detected by the edge-set checksum + count,
-    with an exact except()-based confirmation before accepting it)."""
+    with an exact except()-based confirmation before accepting it).
+
+    Constant-factor shape (round-4 verdict task #7).  Measured reality:
+    VERIFIED near-dup edge sets are tiny relative to the corpus (256
+    pairs for 5000 sf0.1 docs), so distributed rounds on them are pure
+    fixed overhead — per-round AQE stage barriers and job submissions
+    dominated the old 4 s runtime.  The operator is therefore
+    SCALE-ADAPTIVE, the filter-refine pattern applied to graph solve:
+
+    - edge sets at or under ``local_threshold`` (default 5M — a few
+      hundred MB of pairs, trivially one task's memory) are solved
+      EXACTLY in one mapInPandas task by path-compressed union-find
+      with union-by-minimum (same min-root contract), one job total;
+    - larger edge sets run the distributed star-contraction rounds:
+      the iteration's shuffle width adapts to the edge count (~500k
+      edges/partition, capped at the session default), each
+      half-round's closed-neighborhood minimum is a WINDOW over
+      partition(u) on an explicitly u-partitioned frame (one exchange,
+      not groupBy + re-join), large-star feeds small-star
+      undeduplicated (duplicate edges cannot change a min), the
+      per-round dedup runs on the (u, v)-partitioned attach frame with
+      no extra exchange, and lineage is cut every second round.
+
+    Set ``local_threshold=0`` to force the distributed path (tests
+    pin both paths against the same fixtures)."""
     edges = (
         pairs.selectExpr("id_a as u", "id_b as v")
         .filter("u != v")
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    def _large_star(e: DataFrame) -> DataFrame:
-        sym = e.unionByName(e.selectExpr("v as u", "u as v"))
-        m = sym.groupBy("u").agg(F.expr("least(min(v), u)").alias("m"))
-        # grouping keyed the frame by u; attach each larger neighbor to m
-        return (
-            sym.join(m, "u")
-            .filter("v > u")
-            .selectExpr("v as u", "m as v")
-            .filter("u != v")
-            .distinct()
-        )
-
-    def _small_star(e: DataFrame) -> DataFrame:
-        orient = e.selectExpr(
-            "greatest(u, v) as u", "least(u, v) as v"
-        )
-        m = orient.groupBy("u").agg(F.expr("least(min(v), u)").alias("m"))
-        attach = (
-            orient.join(m, "u")
-            .selectExpr("v as u", "m as v")
-            .unionByName(m.selectExpr("u", "m as v"))
-        )
-        return attach.filter("u != v").distinct()
 
     def _sig(e: DataFrame):
         row = e.agg(
@@ -400,10 +451,55 @@ def connected_components_star(
         return (row["n"], row["h"])
 
     prev = _sig(edges)
-    for _ in range(max_iter):
-        edges_new = _small_star(_large_star(edges)).localCheckpoint(
-            eager=True
+    n_edges = int(prev[0] or 0)
+    if n_edges <= local_threshold:
+        # the solved (node -> root) map is at most 2 * n_edges rows,
+        # bounded by the threshold -> always broadcastable
+        cc = F.broadcast(_cc_local_unionfind(edges))
+        return (
+            nodes.selectExpr(f"{id_col} as u")
+            .join(cc, "u", "left")
+            .selectExpr(f"u as {id_col}", "coalesce(root, u) as group_id")
         )
+    spark = edges.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(1, min(default_parts, n_edges // 500_000 + 1))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.selectExpr("v as u", "u as v")).repartition(
+            parts, "u"
+        )
+        lab = sym.withColumn(
+            "m",
+            F.expr("least(min(v) over (partition by u), u)"),
+        )
+        return (
+            lab.filter("v > u")
+            .selectExpr("v as u", "m as v")
+            .filter("u != v")
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        orient = e.selectExpr(
+            "greatest(u, v) as u", "least(u, v) as v"
+        ).repartition(parts, "u")
+        lab = orient.withColumn(
+            "m",
+            F.expr("least(min(v) over (partition by u), u)"),
+        )
+        attach = lab.selectExpr("v as u", "m as v").unionByName(
+            lab.selectExpr("u", "m as v")
+        )
+        return (
+            attach.filter("u != v")
+            .repartition(parts, "u", "v")
+            .dropDuplicates()
+        )
+
+    for rnd in range(max_iter):
+        edges_new = _small_star(_large_star(edges))
+        if rnd % 2 == 1:
+            edges_new = edges_new.localCheckpoint(eager=True)
         cur = _sig(edges_new)
         if cur == prev:
             # checksum equality is necessary but (2^-64-improbably) not

@@ -438,14 +438,17 @@ def test_connected_components_star_deep_chain_and_parity(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(499)], "id_a bigint, id_b bigint"
     )
-    got = dict(
-        (r.doc_id, r.group_id)
-        for r in dd.connected_components_star(
-            nodes, chain, max_iter=20
-        ).collect()
-    )
-    assert all(got[i] == 0 for i in range(500))
-    assert all(got[i] == i for i in range(500, 520))  # isolated
+    # local_threshold=0 forces the DISTRIBUTED star rounds; the default
+    # takes the single-task union-find shortcut — both must agree
+    for thr in (0, 5_000_000):
+        got = dict(
+            (r.doc_id, r.group_id)
+            for r in dd.connected_components_star(
+                nodes, chain, max_iter=20, local_threshold=thr
+            ).collect()
+        )
+        assert all(got[i] == 0 for i in range(500)), thr
+        assert all(got[i] == i for i in range(500, 520)), thr  # isolated
 
     rng = random.Random(5)
     rand_pairs = spark.createDataFrame(
@@ -456,19 +459,20 @@ def test_connected_components_star_deep_chain_and_parity(spark):
         "id_a bigint, id_b bigint",
     )
     small_nodes = spark.range(200).selectExpr("id as doc_id")
-    star = dict(
-        (r.doc_id, r.group_id)
-        for r in dd.connected_components_star(
-            small_nodes, rand_pairs, max_iter=20
-        ).collect()
-    )
     prop = dict(
         (r.doc_id, r.group_id)
         for r in dd.connected_components(
             small_nodes, rand_pairs, max_iter=50
         ).collect()
     )
-    assert star == prop
+    for thr in (0, 5_000_000):
+        star = dict(
+            (r.doc_id, r.group_id)
+            for r in dd.connected_components_star(
+                small_nodes, rand_pairs, max_iter=20, local_threshold=thr
+            ).collect()
+        )
+        assert star == prop, thr
 
 
 def test_lsh_multiprobe_beats_single_bucket(spark):
