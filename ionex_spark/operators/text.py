@@ -275,11 +275,91 @@ def _sql_str(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
+def _merge_fold_sql(a: str, b: str, syms_expr: str = "syms") -> str:
+    """Greedy left-to-right merge of (a, b) -> ab inside a symbol array,
+    as one fold: state = (emitted symbols, pending symbol)."""
+    qa, qb = _sql_str(a), _sql_str(b)
+    return f"""
+aggregate(
+  {syms_expr},
+  struct(cast(array() as array<string>) as arr,
+         cast(null as string) as pend),
+  (acc, s) -> case
+      when acc.pend is null then struct(acc.arr as arr, s as pend)
+      when acc.pend = '{qa}' and s = '{qb}'
+        then struct(concat(acc.arr, array('{qa}{qb}')) as arr,
+                    cast(null as string) as pend)
+      else struct(concat(acc.arr, array(acc.pend)) as arr, s as pend)
+    end,
+  acc -> case when acc.pend is null then acc.arr
+              else concat(acc.arr, array(acc.pend)) end)
+"""
+
+
+def _pairs_interact(p: tuple[str, str], q: tuple[str, str]) -> bool:
+    """Whether merging p can change q's count or identity: shared raw
+    symbols, or either merged symbol string colliding with the other
+    pair's symbols or merged symbol (symbols are plain strings, so
+    'a'+'b' IS any existing 'ab')."""
+    pa, pb = p
+    qa, qb = q
+    if {pa, pb} & {qa, qb}:
+        return True
+    pm, qm = pa + pb, qa + qb
+    return pm in (qa, qb) or qm in (pa, pb) or pm == qm
+
+
+def select_merge_batch(
+    ranked: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str]]:
+    """Pick a batch of merges from the (count desc, pair lexical)
+    ranking that is provably IDENTICAL to running sequential BPE one
+    merge at a time (the exactness the parity test pins):
+
+    take the maximal PREFIX of the ranking that is mutually
+    non-interacting, then keep only pairs whose count is STRICTLY above
+    the count at the stopping point.  Proof sketch: at sequential step
+    j every pair ranked above p_j is already merged (prefix property);
+    merging p_1..p_{j-1} can only decrease other old pairs' counts, and
+    any CREATED pair's count is bounded by an interacting old
+    neighbor's count <= the stop count < count(p_j) (strictness), so
+    the sequential argmax at step j is exactly p_j.  The first pick is
+    always safe."""
+    if not ranked:
+        return []
+    selected: list[tuple[str, str]] = [(ranked[0][0], ranked[0][1])]
+    stop_n = None
+    for a, b, n in ranked[1:]:
+        if len(selected) >= batch:
+            stop_n = n
+            break
+        if any(_pairs_interact((a, b), s) for s in selected):
+            stop_n = n
+            break
+        selected.append((a, b))
+    if stop_n is None:
+        # loop consumed every candidate without a stop: only possible
+        # when the collected ranking is the COMPLETE pair universe (the
+        # caller's collect limit exceeds the batch, so a truncated
+        # window always trips the batch guard first) — nothing exists
+        # below the window to bound against
+        stop_n = 0
+    counts = {(a, b): n for a, b, n in ranked}
+    out = [selected[0]]
+    for p in selected[1:]:
+        if counts[p] > stop_n:
+            out.append(p)
+        else:
+            break
+    return out
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch: int = 1,
 ):
     """Byte-pair-encoding TOKENIZER TRAINING: n_merges rounds of
     (count adjacent symbol pairs -> merge the most frequent pair in the
@@ -289,9 +369,17 @@ def bpe_train(
     corpus is touched ONCE to build the (distinct word, frequency)
     table; every merge round after that operates on the vocabulary —
     Heaps-law sublinear in corpus size — with one pair-count rollup and
-    one narrow fold per round, plus a 1-row driver action to pick the
-    winning pair (bounded by n_merges, the connected-components loop
-    pattern).  Ties break deterministically (count desc, pair lexical).
+    one narrow fold per round, plus a bounded driver action to pick the
+    winning pair(s) (the connected-components loop pattern).  Ties
+    break deterministically (count desc, pair lexical).
+
+    ``batch > 1`` removes the one-Spark-job-per-merge cliff at real
+    vocabulary sizes (30k merges = 30k job submissions): each round
+    collects the top ranking once and applies every merge in the
+    provably-safe batch prefix (select_merge_batch — EXACTLY the
+    sequential result, not the classic lossy frequency-threshold
+    approximation) as stacked folds in ONE job.  batch=1 is the
+    reference path; the parity test pins batched == sequential.
 
     Returns (merges, vocab_df): the ordered merge list [(a, b), ...]
     and the final vocabulary DataFrame (token, syms array<string>,
@@ -313,7 +401,7 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         # guard: sequence(0, -1) DESCENDS in Spark, so a single-symbol
         # token would index syms[-1] — filter fully-merged words out of
         # the pair scan (they can never contribute a pair again)
@@ -322,37 +410,25 @@ def bpe_train(
             " i -> struct(syms[i] as a, syms[i + 1] as b))) as p",
             "freq",
         )
+        want = min(batch, n_merges - len(merges))
         top = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), "p.a", "p.b")
-            .limit(1)
+            .limit(max(2 * want, 16))
             .collect()
         )
         if not top:
             break
-        a, b = top[0].p.a, top[0].p.b
-        merges.append((a, b))
-        qa, qb = _sql_str(a), _sql_str(b)
-        # greedy left-to-right merge of (a,b) -> ab inside each symbol
-        # array, as one fold: state = (emitted symbols, pending symbol)
-        merge = f"""
-aggregate(
-  syms,
-  struct(cast(array() as array<string>) as arr,
-         cast(null as string) as pend),
-  (acc, s) -> case
-      when acc.pend is null then struct(acc.arr as arr, s as pend)
-      when acc.pend = '{qa}' and s = '{qb}'
-        then struct(concat(acc.arr, array('{qa}{qb}')) as arr,
-                    cast(null as string) as pend)
-      else struct(concat(acc.arr, array(acc.pend)) as arr, s as pend)
-    end,
-  acc -> case when acc.pend is null then acc.arr
-              else concat(acc.arr, array(acc.pend)) end)
-"""
+        picked = select_merge_batch(
+            [(r.p.a, r.p.b, r.n) for r in top], want
+        )
+        merges.extend(picked)
+        expr = "syms"
+        for a, b in picked:
+            expr = _merge_fold_sql(a, b, expr)
         vocab = vocab.selectExpr(
-            "token", f"{merge} as syms", "freq"
+            "token", f"{expr} as syms", "freq"
         ).localCheckpoint()
     return merges, vocab
 

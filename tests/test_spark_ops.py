@@ -1149,6 +1149,60 @@ def test_bpe_encode_roundtrip_with_training(spark):
         assert enc.loc[doc_id, "n_bpe_tokens"] == len(want)
 
 
+def test_bpe_batched_training_parity(spark):
+    """batch>1 must reproduce the one-merge-per-job reference EXACTLY —
+    same ordered merge list, same final vocabulary (round-4 verdict
+    task #8: the safe-prefix batch is a speedup, not an approximation).
+    Corpora chosen to exercise the interacting cases: overlapping
+    symbols (ababab chains create high-count pairs mid-round), ties,
+    and concat collisions."""
+    from ionex_spark.operators.text import bpe_train
+
+    corpora = [
+        [
+            (1, "low low low low low"),
+            (2, "lower lower newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        [(1, "ababab ababab ababab abab"), (2, "aab aab bba")],
+        [(1, "xy xy yx yx"), (2, "xyx yxy xxyy")],
+        [(1, "aa aaa aaaa aaaaa"), (2, "ab ba ab ba")],
+    ]
+    for corpus in corpora:
+        docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+        m_seq, v_seq = bpe_train(docs, n_merges=10, batch=1)
+        want = {tuple(r.syms): r.freq for r in v_seq.collect()}
+        for batch in (3, 8):
+            m_b, v_b = bpe_train(docs, n_merges=10, batch=batch)
+            assert m_b == m_seq, (corpus[0], batch, m_b, m_seq)
+            got = {tuple(r.syms): r.freq for r in v_b.collect()}
+            assert got == want, (corpus[0], batch)
+
+
+def test_select_merge_batch_prefix_safety():
+    """Unit properties of the batch selector: first pick always taken,
+    interacting pairs stop the prefix, equal-to-stop counts are
+    dropped (strictness), batch cap respected."""
+    from ionex_spark.operators.text import select_merge_batch
+
+    # plain non-interacting prefix
+    r = [("a", "b", 10), ("c", "d", 9), ("e", "f", 8), ("a", "c", 7)]
+    assert select_merge_batch(r, 10) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # shared symbol stops immediately after first
+    r = [("a", "b", 10), ("b", "c", 9), ("d", "e", 8)]
+    assert select_merge_batch(r, 10) == [("a", "b")]
+    # strictness: count equal to the stop count is dropped
+    r = [("a", "b", 10), ("c", "d", 9), ("e", "f", 9), ("a", "c", 9)]
+    assert select_merge_batch(r, 10) == [("a", "b")]
+    # concat collision: 'a'+'b' == symbol 'ab' of a later pair
+    r = [("a", "b", 10), ("ab", "c", 9)]
+    assert select_merge_batch(r, 10) == [("a", "b")]
+    # batch cap
+    r = [("a", "b", 10), ("c", "d", 9), ("e", "f", 8)]
+    assert select_merge_batch(r, 2) == [("a", "b"), ("c", "d")]
+    assert select_merge_batch([], 4) == []
+
+
 def test_bloom_filter_semantics(spark):
     """Zero false negatives, plausible false-positive rate, and bit_or
     mergeability of two independently built filters."""
