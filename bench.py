@@ -210,6 +210,8 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    loads: dict[str, float] = {}
+    retried: list[str] = []
     extras: dict[str, float] = {}
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -229,8 +231,20 @@ def main() -> None:
             t0 = time.time()
             fn()
             ts.append(round(time.time() - t0, 3))
+        # load honesty (recurring per-round finding: first-position
+        # queries inflate under suite load): when the worst run exceeds
+        # 2x the median, assume external pollution and take one extra
+        # run before recording; the retry is flagged in BENCH_DETAIL
+        if max(ts) > 2 * statistics.median(ts):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+            retried.append(name)
         timings[name] = statistics.median(ts)
         spreads[name] = [min(ts), max(ts)]
+        # 1-minute load average stamped AFTER the runs: attributes a
+        # fat spread to box load instead of leaving it a mystery
+        loads[name] = round(os.getloadavg()[0], 1)
 
     # per-operator timings FIRST (fresh JVM, stable heap): the 200M-row
     # flagship + image jobs degrade later small-query timings via GC /
@@ -265,6 +279,10 @@ def main() -> None:
             "semi_join_active_customers",
             "similarity_topk", "similarity_lsh_ann",
             "similarity_lsh_multiprobe", "similarity_ivf",
+            # round-5 operators
+            "alt_interp_trilinear", "skew_salted_join",
+            "knn_points_metrics", "schema_evolution_rollup",
+            "compacted_snapshot_rollup",
         ]
     )
     for name in bench_queries:
@@ -394,7 +412,16 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
-        json.dump({**headline, "query_spread": spreads}, fh, indent=1)
+        json.dump(
+            {
+                **headline,
+                "query_spread": spreads,
+                "query_loadavg": loads,
+                "load_retried": retried,
+            },
+            fh,
+            indent=1,
+        )
     print(f"# spreads -> {detail_path}", file=sys.stderr)
     print(json.dumps(headline))
     spark.stop()
