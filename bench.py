@@ -282,7 +282,8 @@ def main() -> None:
             # round-5 operators
             "alt_interp_trilinear", "skew_salted_join",
             "knn_points_metrics", "schema_evolution_rollup",
-            "compacted_snapshot_rollup",
+            "compacted_snapshot_rollup", "histogram_quantiles_value",
+            "url_dedup_canonical", "tile_representative_image",
         ]
     )
     for name in bench_queries:

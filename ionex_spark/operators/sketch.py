@@ -248,3 +248,64 @@ def bloom_membership(
             F.expr(f"cast(sum(hit) = {k} as int)").alias("maybe_present")
         )
     )
+
+
+# -------------------------------------------- fixed-bin histogram sketch
+
+def histogram_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Mergeable FIXED-BIN HISTOGRAM sketch per group: bin = floor(v /
+    width), one count row per non-empty bin.  Two histograms merge by
+    summing counts on (group, bin) — the property that lets a 100 TB
+    scan build per-partition histograms map-side and combine them in
+    one shuffle whose volume is #groups x #non-empty-bins, independent
+    of row count.  Deterministic by construction, so unlike t-digest /
+    approx_percentile the sketch is bit-reproducible across engines and
+    oracle-able exactly."""
+    return (
+        df.selectExpr(
+            *group_cols,
+            f"cast(floor(({value_col}) / cast({bin_width!r} as double))"
+            " as bigint) as bin",
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    bins: DataFrame,
+    group_cols: list[str],
+    bin_width: float,
+    ps: list[float],
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin histogram: for each p, the
+    LOWER BOUNDARY of the first bin whose running count reaches
+    ceil(p * total) — error bounded by bin_width, deterministic, and
+    computed with one window scan over the (tiny) per-group bin rows.
+    Output: group_cols + (q_<p> columns, total_n)."""
+    part = ", ".join(group_cols)
+    w = f"over (partition by {part} order by bin)"
+    ranked = bins.selectExpr(
+        *group_cols,
+        "bin",
+        f"sum(n) {w} as cum",
+        f"sum(n) over (partition by {part}) as total",
+    )
+    # every float literal is cast(double): Spark parses bare 0.5 as
+    # DECIMAL while DuckDB parses DOUBLE, silently changing ceil() inputs
+    aggs = [
+        F.expr(
+            f"min(case when cum >= cast(ceil(cast({p!r} as double)"
+            " * cast(total as double)) as bigint)"
+            f" then bin * cast({bin_width!r} as double) end)"
+        ).alias(f"q_{str(p).replace('.', '_')}")
+        for p in ps
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        *aggs, F.max("total").alias("total_n")
+    )

@@ -481,3 +481,25 @@ transform(words, syms -> aggregate(
         "flatten(words) as bpe_tokens",
         "size(flatten(words)) as n_bpe_tokens",
     )
+
+
+# ------------------------------------------------ URL canonicalization
+
+def canonical_url_sql(url: str) -> str:
+    """Canonical URL for crawl dedup: lowercase, scheme and www.
+    stripped, query string and fragment dropped, trailing slashes
+    trimmed — the canonicalization step before URL-level dedup of a
+    web crawl (distinct fetches of one resource collapse to one key).
+    Standard SQL functions only (lower/replace/split_part/
+    regexp_replace), identical spelling in Spark and DuckDB; the
+    independent Python-reference fixture pins the semantics."""
+    s = f"lower({url})"
+    s = f"replace(replace({s}, 'https://', ''), 'http://', '')"
+    s = f"split_part(split_part({s}, '?', 1), '#', 1)"
+    # LIKE + substr, NOT regexp '^www\.': Spark processes backslash
+    # escapes inside string literals while DuckDB does not, so the same
+    # regex literal parses to DIFFERENT patterns in the two engines
+    # (caught by the cross-engine smoke); LIKE treats '.' literally in
+    # both.
+    s = f"(case when {s} like 'www.%' then substr({s}, 5) else {s} end)"
+    return f"regexp_replace({s}, '/+$', '')"

@@ -159,3 +159,41 @@ def geohash_sql(lat: str, lon: str, chars: int = 6) -> str:
     expr = expr.replace("_code", code)
     expr = expr.replace("_lonq", lonq).replace("_latq", latq)
     return expr
+
+
+def tile_representative(
+    df: DataFrame,
+    tile_col: str,
+    id_col: str,
+    score_col: str,
+    id_space: int = 1 << 31,
+) -> DataFrame:
+    """Deterministic REPRESENTATIVE selection per tile: the row with the
+    smallest (score, id) — the mosaic/thumbnail pick of a 10^12-image
+    raster↔vector pipeline (one canonical image per map tile; score =
+    phash for visual canonicalization, quality for curation).
+
+    Pure arithmetic argmin: (score, id) packs into ONE bigint
+    (score * id_space + id, exact while score < 2^63 / id_space and
+    id < id_space), so the selection is a plain min() aggregate — one
+    shuffle with map-side combine, no window sort, no struct-ordering
+    engine differences to oracle around.  Output: (tile, n_rows,
+    rep_id, rep_score)."""
+    packed = df.selectExpr(
+        f"{tile_col} as tile",
+        f"({score_col}) * cast({id_space} as bigint) + ({id_col}) as pkey",
+    )
+    return (
+        packed.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pkey").alias("_min_pkey"),
+        )
+        .selectExpr(
+            "tile",
+            "n_rows",
+            f"_min_pkey % cast({id_space} as bigint) as rep_id",
+            # integer div, NOT floor(double/...): pkey can exceed 2^53
+            f"_min_pkey div cast({id_space} as bigint) as rep_score",
+        )
+    )

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ionex_spark.operators import dedup as dd
 from ionex_spark.operators import similarity as sim
 from ionex_spark.operators import text as tx
-from ionex_spark.plans.queries import register
+from ionex_spark.functions import sqlgen
+from ionex_spark.plans.queries import ORACLES, register
 
 N_MINHASH = 8
 BAND = 2
@@ -1792,4 +1793,151 @@ def compacted_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_sum_fp"),
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
+    )
+
+
+# ----------------------------------------- histogram quantile sketch
+
+@register(
+    "histogram_quantiles_value",
+    priority=100,
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / CAST(0.25 AS DOUBLE)) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       min(CASE WHEN cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT)
+                THEN bin * CAST(0.25 AS DOUBLE) END) AS q_0_5,
+       min(CASE WHEN cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT)
+                THEN bin * CAST(0.25 AS DOUBLE) END) AS q_0_9,
+       min(CASE WHEN cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(total AS DOUBLE)) AS BIGINT)
+                THEN bin * CAST(0.25 AS DOUBLE) END) AS q_0_99,
+       CAST(max(total) AS BIGINT) AS total_n
+FROM r GROUP BY 1
+""",
+)
+def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch: fixed-bin histogram (bin = floor(v /
+    0.25)) built with one map-side-combining shuffle, quantiles read off
+    the cumulative bin counts (operators/sketch.histogram_bins /
+    histogram_quantiles).  Unlike t-digest/approx_percentile the sketch
+    is deterministic, so an APPROXIMATE quantile is bit-exactly
+    oracle-able — the KMV trick applied to percentiles.  Error is
+    bounded by the bin width; sketch size is #groups x #non-empty-bins
+    regardless of row count (the 100 TB property)."""
+    from ionex_spark.operators import sketch as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    bins = sk.histogram_bins(ev, ["event_type"], "value", 0.25)
+    out = sk.histogram_quantiles(bins, ["event_type"], 0.25, [0.5, 0.9, 0.99])
+    return out.selectExpr(
+        "event_type", "q_0_5", "q_0_9", "q_0_99",
+        "cast(total_n as bigint) as total_n",
+    )
+
+
+# ------------------------------------------------ URL canonical dedup
+
+_URL_SYNTH = """
+concat(
+  CASE WHEN doc_id % 4 = 0 THEN 'https://www.example.com/'
+       WHEN doc_id % 4 = 1 THEN 'HTTP://EXAMPLE.COM/'
+       WHEN doc_id % 4 = 2 THEN 'https://example.com/'
+       ELSE 'http://www.Example.com/' END,
+  'p/', CAST(doc_id % 40 AS VARCHAR),
+  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=9'
+       WHEN doc_id % 3 = 1 THEN '/'
+       ELSE '#section' END)
+"""
+
+
+@register(
+    "url_dedup_canonical",
+    priority=100,
+    oracle=None,  # set below: needs the canonical kernel text
+)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: canonicalize (lowercase, scheme/www
+    strip, query+fragment drop, trailing-slash trim —
+    text.canonical_url_sql) then collapse distinct fetches of one
+    resource to a single kept doc (min doc_id) — the URL-dedup pass a
+    web-scale corpus runs BEFORE content dedup (an order of magnitude
+    cheaper than minhash; narrow string ops + one rollup shuffle).
+    Synthetic URLs derive from doc_id with scheme/case/www/query/slash
+    variants that must all collapse."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        _URL_SYNTH.replace("AS VARCHAR", "AS STRING") + " as url",
+    )
+    canon = docs.selectExpr(
+        "doc_id", f"{tx.canonical_url_sql('url')} as canonical_url"
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.min("doc_id").alias("kept_doc_id"),
+    )
+
+
+ORACLES["url_dedup_canonical"] = f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents
+)
+SELECT {tx.canonical_url_sql('url')} AS canonical_url,
+       count(*) AS n_fetches,
+       min(doc_id) AS kept_doc_id
+FROM urls GROUP BY 1
+"""
+
+
+# -------------------------------------- per-tile representative image
+
+@register(
+    "tile_representative_image",
+    priority=100,
+    oracle=f"""
+WITH imgs AS (
+  SELECT event_id,
+         {sqlgen.cell_id_sql(sqlgen.lat_from_id_sql('event_id'),
+                             sqlgen.lon_from_id_sql('event_id'), 4)} AS tile,
+         (event_id * 2654435761) % 2147483647 AS phash
+  FROM events
+),
+packed AS (
+  SELECT tile, count(*) AS n_rows,
+         min(phash * CAST(2147483648 AS BIGINT) + event_id) AS mp
+  FROM imgs GROUP BY 1
+)
+SELECT tile, n_rows,
+       mp % CAST(2147483648 AS BIGINT) AS rep_id,
+       mp // CAST(2147483648 AS BIGINT) AS rep_score
+FROM packed
+""",
+)
+def tile_representative_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-map-tile REPRESENTATIVE image selection (the mosaic /
+    thumbnail pick of a raster<->vector image pipeline): deterministic
+    argmin of (phash, id) per res-4 tile via a packed-bigint min
+    aggregate — one map-side-combining shuffle, no window sort
+    (operators/tiles.tile_representative).  Synthetic phash derives
+    from event_id; ids/scores bounded so the packing is exact."""
+    from ionex_spark.operators import tiles
+
+    imgs = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        f"{sqlgen.cell_id_sql(sqlgen.lat_from_id_sql('event_id'), sqlgen.lon_from_id_sql('event_id'), 4)} as tile",
+        "(event_id * 2654435761) % 2147483647 as phash",
+    )
+    return tiles.tile_representative(
+        imgs, "tile", "event_id", "phash", id_space=1 << 31
     )

@@ -249,6 +249,15 @@ EVIDENCE: dict[str, list[str]] = {
     "bloom_filter_tokens": [
         f"{T}/test_spark_ops.py::test_bloom_filter_semantics",
     ],
+    "histogram_quantiles_value": [
+        f"{T}/test_independent_fixtures.py::test_histogram_quantiles_hand_computed",
+    ],
+    "url_dedup_canonical": [
+        f"{T}/test_independent_fixtures.py::test_canonical_url_python_reference",
+    ],
+    "tile_representative_image": [
+        f"{T}/test_independent_fixtures.py::test_tile_representative_hand_computed",
+    ],
     # ---------------- similarity / embeddings
     "similarity_topk": [
         f"{T}/test_spark_ops.py::test_brute_force_topk_matches_numpy",

@@ -242,3 +242,98 @@ def test_token_drift_hand_computed(spark, tmp_path):
         c_o, c_n = old_counts.get(tok, 0), new_counts.get(tok, 0)
         assert got[tok] == (c_o, c_n, abs(c_o * t_new - c_n * t_old)), tok
     assert len(got) == 4
+
+
+# -------------------------------------------- histogram quantile sketch
+
+def test_histogram_quantiles_hand_computed(spark):
+    """Bin counts and quantile boundaries recomputed by hand: values
+    [0.1, 0.3, 0.6, 0.9, 2.0] at width 0.5 -> bins [0,0,1,1,4];
+    p50 -> first bin with cum >= ceil(0.5*5)=3 -> bin 1 -> 0.5;
+    p99 -> cum >= 5 -> bin 4 -> 2.0."""
+    from ionex_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (0.1, 0.3, 0.6, 0.9, 2.0)],
+        "g string, v double",
+    )
+    bins = sk.histogram_bins(df, ["g"], "v", 0.5)
+    got_bins = {
+        (r.g, r.bin): r.n for r in bins.collect()
+    }
+    assert got_bins == {("a", 0): 2, ("a", 1): 2, ("a", 4): 1}
+    q = sk.histogram_quantiles(bins, ["g"], 0.5, [0.5, 0.99]).collect()[0]
+    assert q.q_0_5 == 0.5
+    assert q.q_0_99 == 2.0
+    assert q.total_n == 5
+
+    # mergeability: two half-histograms bit_sum to the full one
+    h1 = sk.histogram_bins(df.limit(3), ["g"], "v", 0.5)
+    h2 = sk.histogram_bins(
+        spark.createDataFrame([("a", 0.9), ("a", 2.0)], "g string, v double"),
+        ["g"], "v", 0.5,
+    )
+    merged = (
+        h1.unionByName(h2).groupBy("g", "bin").sum("n")
+        .withColumnRenamed("sum(n)", "n")
+    )
+    assert {(r.g, r.bin): r.n for r in merged.collect()} == got_bins
+
+
+# ------------------------------------------------ URL canonicalization
+
+def test_canonical_url_python_reference(spark):
+    """Canonicalization semantics recomputed with plain Python string
+    ops — lowercase, scheme strip, query/fragment drop, www. strip,
+    trailing-slash trim — including the non-stripping wwwx edge."""
+    from ionex_spark.operators.text import canonical_url_sql
+
+    def ref(u: str) -> str:
+        s = u.lower()
+        for p in ("https://", "http://"):
+            s = s.replace(p, "")
+        s = s.split("?", 1)[0].split("#", 1)[0]
+        if s.startswith("www."):
+            s = s[4:]
+        return s.rstrip("/")
+
+    urls = [
+        "https://www.Example.COM/p/7",
+        "HTTP://EXAMPLE.com/p/7/",
+        "https://example.com/p/7?utm_source=x&ref=1",
+        "http://www.example.com/p/7/#frag",
+        "https://wwwx.com/a",          # www. must NOT strip here
+        "https://example.com///",      # all trailing slashes trim
+        "http://a.b/c?x=1#y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [
+        r.c
+        for r in df.selectExpr(
+            f"{canonical_url_sql('u')} as c"
+        ).collect()
+    ]
+    assert got == [ref(u) for u in urls]
+
+
+# ------------------------------------- per-tile representative argmin
+
+def test_tile_representative_hand_computed(spark):
+    """Packed-bigint argmin equals the hand argmin of (score, id),
+    including a score tie broken by smaller id."""
+    from ionex_spark.operators.tiles import tile_representative
+
+    rows = [
+        (10, 1, 50), (10, 2, 30), (10, 3, 30),   # tie on 30 -> id 2
+        (20, 7, 99),                              # singleton
+    ]
+    df = spark.createDataFrame(rows, "tile bigint, id bigint, score bigint")
+    got = (
+        tile_representative(df, "tile", "id", "score")
+        .toPandas()
+        .set_index("tile")
+        .sort_index()
+    )
+    assert got.loc[10, "n_rows"] == 3
+    assert got.loc[10, "rep_id"] == 2 and got.loc[10, "rep_score"] == 30
+    assert got.loc[20, "rep_id"] == 7 and got.loc[20, "rep_score"] == 99

@@ -31,6 +31,9 @@ NEW_THIS_ROUND = {
     "compacted_snapshot_rollup",
     "schema_evolution_rollup",
     "knn_points_metrics",
+    "histogram_quantiles_value",
+    "url_dedup_canonical",
+    "tile_representative_image",
 }
 
 
