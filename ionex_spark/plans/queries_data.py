@@ -1941,3 +1941,68 @@ def tile_representative_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_representative(
         imgs, "tile", "event_id", "phash", id_space=1 << 31
     )
+
+
+# ------------------------------------------------ integer PageRank
+
+_PR_ITERS = 5
+_PR_INIT = 1_000_000
+_PR_DAMP = 850_000
+_PR_BASE = ((1_000_000 - _PR_DAMP) * _PR_INIT) // 1_000_000
+
+
+@register(
+    "domain_pagerank",
+    priority=100,
+    oracle=f"""
+WITH RECURSIVE
+nd AS (SELECT DISTINCT doc_id % 500 AS node FROM documents),
+ed AS (
+  SELECT DISTINCT doc_id % 500 AS src, (doc_id * 7919) % 500 AS dst
+  FROM documents
+  WHERE doc_id % 500 != (doc_id * 7919) % 500
+),
+outdeg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+pr AS (
+  SELECT 0 AS iter, node, CAST({_PR_INIT} AS BIGINT) AS rank FROM nd
+  UNION ALL
+  SELECT p.iter + 1, p.node,
+         CAST({_PR_BASE} + ({_PR_DAMP} * COALESCE(c.contrib, 0))
+              // 1000000 AS BIGINT)
+  FROM pr p
+  LEFT JOIN (
+     SELECT e.dst AS node, pp.iter,
+            SUM(pp.rank // od.deg) AS contrib
+     FROM pr pp
+     JOIN outdeg od ON od.src = pp.node
+     JOIN ed e ON e.src = pp.node
+     GROUP BY 1, 2
+  ) c ON c.node = p.node AND c.iter = p.iter
+  WHERE p.iter < {_PR_ITERS}
+)
+SELECT node AS domain, rank FROM pr WHERE iter = {_PR_ITERS}
+""",
+)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER PageRank over a synthetic domain link graph — the
+    link-structure quality signal a web-corpus pipeline feeds into
+    sampling weights.  All arithmetic is fixed-point int64 (rank units,
+    ppm damping, integer out-degree split), so the power iteration is
+    exactly deterministic and merge-order-independent — which is what
+    lets an ITERATIVE float-family algorithm be bit-exactly oracled by
+    a DuckDB recursive CTE (operators/graph.pagerank_int; the Python-
+    reference fixture pins the recurrence independently).  Per round:
+    one ranks-x-edges join + one dst aggregation, shuffle width sized
+    to the edge count."""
+    from ionex_spark.operators.graph import pagerank_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.selectExpr("doc_id % 500 as node").distinct()
+    edges = docs.selectExpr(
+        "doc_id % 500 as src", "(doc_id * 7919) % 500 as dst"
+    )
+    out = pagerank_int(
+        nodes, edges, n_iter=_PR_ITERS,
+        init_rank=_PR_INIT, damping_ppm=_PR_DAMP,
+    )
+    return out.selectExpr("node as domain", "rank")

@@ -258,6 +258,10 @@ EVIDENCE: dict[str, list[str]] = {
     "tile_representative_image": [
         f"{T}/test_independent_fixtures.py::test_tile_representative_hand_computed",
     ],
+    "domain_pagerank": [
+        f"{T}/test_independent_fixtures.py::test_pagerank_int_python_reference",
+        f"{T}/test_independent_fixtures.py::test_pagerank_int_duplicate_and_self_edges_ignored",
+    ],
     # ---------------- similarity / embeddings
     "similarity_topk": [
         f"{T}/test_spark_ops.py::test_brute_force_topk_matches_numpy",

@@ -337,3 +337,52 @@ def test_tile_representative_hand_computed(spark):
     assert got.loc[10, "n_rows"] == 3
     assert got.loc[10, "rep_id"] == 2 and got.loc[10, "rep_score"] == 30
     assert got.loc[20, "rep_id"] == 7 and got.loc[20, "rep_score"] == 99
+
+
+# --------------------------------------------------- integer PageRank
+
+def test_pagerank_int_python_reference(spark):
+    """The integer power-iteration recurrence recomputed in plain
+    Python dicts on a hub-and-chain graph, including dangling nodes
+    and an isolated node."""
+    from ionex_spark.operators.graph import pagerank_int
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1), (3, 2), (5, 0)]
+    # node 4 isolated; node 5 sources but nothing points at it
+    nodes = list(range(6))
+    nd = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    ed = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.rank
+        for r in pagerank_int(nd, ed, n_iter=4, init_rank=1_000_000).collect()
+    }
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    base = (150_000 * 1_000_000) // 1_000_000
+    for _ in range(4):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: base + (850_000 * contrib[n]) // 1_000_000 for n in nodes}
+    assert got == r
+    # isolated + unpointed nodes sit at exactly the base rank
+    assert got[4] == base and got[5] == base
+    # the cycle members accumulate the hub's mass: all above base
+    assert min(got[0], got[1], got[2]) > base
+
+
+def test_pagerank_int_duplicate_and_self_edges_ignored(spark):
+    """Self-loops and duplicate edges must not change the result."""
+    from ionex_spark.operators.graph import pagerank_int
+
+    nd = spark.createDataFrame([(n,) for n in range(3)], "node bigint")
+    clean = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    dirty = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 2), (1, 1)], "src bigint, dst bigint"
+    )
+    a = {r.node: r.rank for r in pagerank_int(nd, clean, n_iter=3).collect()}
+    b = {r.node: r.rank for r in pagerank_int(nd, dirty, n_iter=3).collect()}
+    assert a == b

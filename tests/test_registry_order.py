@@ -34,6 +34,7 @@ NEW_THIS_ROUND = {
     "histogram_quantiles_value",
     "url_dedup_canonical",
     "tile_representative_image",
+    "domain_pagerank",
 }
 
 
