@@ -317,28 +317,41 @@ def select_merge_batch(
     merge at a time (the exactness the parity test pins):
 
     take the maximal PREFIX of the ranking that is mutually
-    non-interacting, then keep only pairs whose count is STRICTLY above
-    the count at the stopping point.  Proof sketch: at sequential step
-    j every pair ranked above p_j is already merged (prefix property);
-    merging p_1..p_{j-1} can only decrease other old pairs' counts, and
-    any CREATED pair's count is bounded by an interacting old
-    neighbor's count <= the stop count < count(p_j) (strictness), so
-    the sequential argmax at step j is exactly p_j.  The first pick is
-    always safe."""
+    non-interacting, close the batch at any SELF-pair (a == b), then
+    keep only pairs whose count is STRICTLY above the count at the
+    stopping point.  Proof sketch: at sequential step j every pair
+    ranked above p_j is already merged (prefix property); merging
+    p_1..p_{j-1} can only decrease other old pairs' counts, and any
+    CREATED pair's count is bounded by an interacting old neighbor's
+    count <= the stop count < count(p_j) (strictness), so the
+    sequential argmax at step j is exactly p_j.  The self-pair rule
+    exists because that neighbor bound fails exactly when a selected
+    pair interacts with ITSELF: merging (a, a) over a run 'a a a'
+    creates (aa, a) whose count is bounded by count(a, a) — the
+    selected pair's own count, above any stop — so a self-merge may
+    only ever be the batch's final member (found by review: corpus
+    'aaa aaa aaa xy' made batch=2 pick (x,y) where sequential picks
+    (aa,a)).  The first pick is always safe."""
     if not ranked:
         return []
     selected: list[tuple[str, str]] = [(ranked[0][0], ranked[0][1])]
-    stop_n = None
-    for a, b, n in ranked[1:]:
-        if len(selected) >= batch:
-            stop_n = n
-            break
-        if any(_pairs_interact((a, b), s) for s in selected):
-            stop_n = n
-            break
-        selected.append((a, b))
+    stop_n: int | None = None
+    if ranked[0][0] == ranked[0][1]:
+        stop_n = ranked[1][2] if len(ranked) > 1 else None
+    else:
+        for i in range(1, len(ranked)):
+            a, b, n = ranked[i]
+            if len(selected) >= batch or any(
+                _pairs_interact((a, b), s) for s in selected
+            ):
+                stop_n = n
+                break
+            selected.append((a, b))
+            if a == b:  # self-merge closes the batch (see docstring)
+                stop_n = ranked[i + 1][2] if i + 1 < len(ranked) else None
+                break
     if stop_n is None:
-        # loop consumed every candidate without a stop: only possible
+        # every candidate was consumed without a stop: only possible
         # when the collected ranking is the COMPLETE pair universe (the
         # caller's collect limit exceeds the batch, so a truncated
         # window always trips the batch guard first) — nothing exists
@@ -494,7 +507,15 @@ def canonical_url_sql(url: str) -> str:
     regexp_replace), identical spelling in Spark and DuckDB; the
     independent Python-reference fixture pins the semantics."""
     s = f"lower({url})"
-    s = f"replace(replace({s}, 'https://', ''), 'http://', '')"
+    # strip only a LEADING scheme: replace() would also erase a scheme
+    # embedded in the path (archive/proxy URLs like
+    # 'http://host/web/https://example.com/x'), wrongly collapsing
+    # distinct resources (review finding)
+    s = (
+        f"(case when {s} like 'https://%' then substr({s}, 9)"
+        f" when {s} like 'http://%' then substr({s}, 8)"
+        f" else {s} end)"
+    )
     s = f"split_part(split_part({s}, '?', 1), '#', 1)"
     # LIKE + substr, NOT regexp '^www\.': Spark processes backslash
     # escapes inside string literals while DuckDB does not, so the same

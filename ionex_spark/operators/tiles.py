@@ -174,14 +174,27 @@ def tile_representative(
     phash for visual canonicalization, quality for curation).
 
     Pure arithmetic argmin: (score, id) packs into ONE bigint
-    (score * id_space + id, exact while score < 2^63 / id_space and
-    id < id_space), so the selection is a plain min() aggregate — one
-    shuffle with map-side combine, no window sort, no struct-ordering
-    engine differences to oracle around.  Output: (tile, n_rows,
-    rep_id, rep_score)."""
+    (score * id_space + id), so the selection is a plain min()
+    aggregate — one shuffle with map-side combine, no window sort, no
+    struct-ordering engine differences to oracle around.  Output:
+    (tile, n_rows, rep_id, rep_score).
+
+    Domain contract, ENFORCED row-wise (review finding: Spark's % takes
+    the dividend's sign and div truncates toward zero, so a negative
+    score — e.g. a raw signed xxhash64 — would unpack into garbage
+    silently): 0 <= score < 2^63 / id_space and 0 <= id < id_space;
+    violations raise.  Normalize signed hashes first (pmod)."""
+    max_score = (1 << 63) // id_space
+    pk = f"({score_col}) * cast({id_space} as bigint) + ({id_col})"
+    guard = (
+        f"({score_col}) >= 0 and ({score_col}) < {max_score}"
+        f" and ({id_col}) >= 0 and ({id_col}) < {id_space}"
+    )
     packed = df.selectExpr(
         f"{tile_col} as tile",
-        f"({score_col}) * cast({id_space} as bigint) + ({id_col}) as pkey",
+        f"if({guard}, {pk}, cast(raise_error('tile_representative:"
+        f" score must be in [0, {max_score}) and id in [0, {id_space})')"
+        " as bigint)) as pkey",
     )
     return (
         packed.groupBy("tile")

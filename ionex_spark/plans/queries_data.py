@@ -1691,6 +1691,25 @@ def bloom_filter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------- tableio schema evolution + compaction
 
+def _scratch_table(prefix: str):
+    """Fresh throwaway SnapshotTable for an end-to-end table-layer gate
+    query, removed at interpreter exit.  Each invocation writes a new
+    copy of its input (deliberate: the table WRITE path is part of what
+    these queries verify and measure), so without cleanup repeated
+    bench/gate runs would accumulate copies under /tmp indefinitely
+    (review finding)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return SnapshotTable(d)
+
+
+
 @register(
     "schema_evolution_rollup",
     priority=100,
@@ -1722,12 +1741,8 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).  The oracle recomputes the same union from raw events,
     so a wrong id mapping (dropped rows, mis-bound columns, non-null
     ghosts) breaks the bit-exact hash."""
-    import tempfile
-
-    from ionex_spark.sources.tableio import SnapshotTable
-
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = SnapshotTable(tempfile.mkdtemp(prefix="ionex_evo_"))
+    t = _scratch_table("ionex_evo_")
     t.append(ev.filter("event_id % 2 = 0").select("event_id", "value"))
     t.evolve_schema(add_columns={"w": "double"}, renames={"value": "val"})
     t.append(
@@ -1773,14 +1788,10 @@ def compacted_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events directly: compaction must be a pure layout change — any
     lost/duplicated/reordered-into-wrongness row breaks bit-exactness.
     Pre-compaction snapshots remain time-travelable (pytest-pinned)."""
-    import tempfile
-
-    from ionex_spark.sources.tableio import SnapshotTable
-
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "value"
     )
-    t = SnapshotTable(tempfile.mkdtemp(prefix="ionex_compact_"))
+    t = _scratch_table("ionex_compact_")
     for third in range(3):
         t.append(ev.filter(f"event_id % 3 = {third}").repartition(8))
     t.rewrite_data_files(spark, target_files=2, sort_by=["event_id"])

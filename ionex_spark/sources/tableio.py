@@ -220,6 +220,22 @@ class SnapshotTable:
                 )
             return schema, parent["schema_id"], parent["schemas"]
         schema = self._derive_schema(df)
+        if parent and parent.get("files"):
+            # legacy table (committed before schema tracking): the new
+            # df's derived schema retro-tags the old files, so it must
+            # actually MATCH them — validate against one file's footer
+            # instead of silently committing a wrong mapping (review
+            # finding: a mismatched append would make read() return
+            # NULL-poisoned columns with no error anywhere)
+            legacy_cols = set(
+                df.sparkSession.read.parquet(parent["files"][0]).columns
+            )
+            if set(df.columns) != legacy_cols:
+                raise ValueError(
+                    f"dataframe columns {sorted(df.columns)} do not match"
+                    f" this legacy table's files {sorted(legacy_cols)};"
+                    " schema changes require a schema-tracked table"
+                )
         return schema, 1, {"1": schema}
 
     # ----------------------------------------------------------- commits
@@ -436,20 +452,35 @@ class SnapshotTable:
         else:
             df = df.repartition(target_files)
         parent = self.current_snapshot()
-        sid = self.overwrite(
-            df, summary={**(summary or {}), "op": "rewrite-data-files"}
-        )
-        # rewrite must not change row counts — cheap footer-level guard
+        # stage + verify BEFORE committing (review finding: a post-commit
+        # guard leaves the corrupt snapshot durable and CURRENT for any
+        # reader racing the exception); a failed rewrite leaves only an
+        # orphan stage directory, never a visible snapshot
+        schema, schema_id, schemas = self._schema_state(parent, df)
+        files = self._write_stage(df.select(*[c["name"] for c in schema]))
         before = spark.read.parquet(*parent["files"]).count()
-        after = spark.read.parquet(
-            *self._files_at(sid)
-        ).count()
+        after = spark.read.parquet(*files).count()
         if before != after:
             raise RuntimeError(
                 f"compaction changed row count {before} -> {after};"
-                " snapshot {sid} is suspect"
+                f" staged files {files[:1]}... abandoned, table unchanged"
             )
-        return sid
+        sid = (parent["snapshot_id"] + 1) if parent else 1
+        return self._commit(
+            {
+                "snapshot_id": sid,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "timestamp": time.time(),
+                "files": files,
+                "added_files": files,
+                "operation": "overwrite",
+                "schema": schema,
+                "schema_id": schema_id,
+                "schemas": schemas,
+                "file_schemas": {f: schema_id for f in files},
+                "summary": {**(summary or {}), "op": "rewrite-data-files"},
+            }
+        )
 
     def upsert(
         self, spark: SparkSession, updates: DataFrame, keys: list[str]

@@ -291,7 +291,9 @@ def test_canonical_url_python_reference(spark):
     def ref(u: str) -> str:
         s = u.lower()
         for p in ("https://", "http://"):
-            s = s.replace(p, "")
+            if s.startswith(p):
+                s = s[len(p):]
+                break
         s = s.split("?", 1)[0].split("#", 1)[0]
         if s.startswith("www."):
             s = s[4:]
@@ -305,6 +307,10 @@ def test_canonical_url_python_reference(spark):
         "https://wwwx.com/a",          # www. must NOT strip here
         "https://example.com///",      # all trailing slashes trim
         "http://a.b/c?x=1#y",
+        # scheme embedded in the PATH must survive (archive/proxy URLs
+        # are distinct resources — review finding)
+        "http://web.archive.org/web/2020/https://example.com/x",
+        "http://web.archive.org/web/2020/example.com/x",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     got = [
@@ -386,3 +392,17 @@ def test_pagerank_int_duplicate_and_self_edges_ignored(spark):
     a = {r.node: r.rank for r in pagerank_int(nd, clean, n_iter=3).collect()}
     b = {r.node: r.rank for r in pagerank_int(nd, dirty, n_iter=3).collect()}
     assert a == b
+
+
+def test_tile_representative_rejects_out_of_domain(spark):
+    """Negative scores/ids (e.g. raw signed hashes) must raise, not
+    silently unpack into garbage representatives."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from ionex_spark.operators.tiles import tile_representative
+
+    bad = spark.createDataFrame(
+        [(1, 5, -1)], "tile bigint, id bigint, score bigint"
+    )
+    with pytest.raises(PySparkException, match="tile_representative"):
+        tile_representative(bad, "tile", "id", "score").collect()

@@ -1167,6 +1167,11 @@ def test_bpe_batched_training_parity(spark):
         [(1, "ababab ababab ababab abab"), (2, "aab aab bba")],
         [(1, "xy xy yx yx"), (2, "xyx yxy xxyy")],
         [(1, "aa aaa aaaa aaaaa"), (2, "ab ba ab ba")],
+        # review-found case: the self-merge (a,a) creates (aa,a) with
+        # count ABOVE the disjoint runner-up (x,y) — a self-pair must
+        # close the batch or batch=2 diverges from sequential
+        [(1, "aaa aaa aaa xy")],
+        [(1, "zz zz q aaa aaa aaa xy xy")],
     ]
     for corpus in corpora:
         docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
@@ -1197,6 +1202,14 @@ def test_select_merge_batch_prefix_safety():
     # concat collision: 'a'+'b' == symbol 'ab' of a later pair
     r = [("a", "b", 10), ("ab", "c", 9)]
     assert select_merge_batch(r, 10) == [("a", "b")]
+    # self-pair closes the batch: first position -> alone; later
+    # position -> final member (kept only under strictness)
+    r = [("a", "a", 10), ("x", "y", 3)]
+    assert select_merge_batch(r, 10) == [("a", "a")]
+    r = [("x", "y", 10), ("a", "a", 9), ("c", "d", 3)]
+    assert select_merge_batch(r, 10) == [("x", "y"), ("a", "a")]
+    r = [("x", "y", 10), ("a", "a", 9), ("c", "d", 9)]
+    assert select_merge_batch(r, 10) == [("x", "y")]  # strictness trims
     # batch cap
     r = [("a", "b", 10), ("c", "d", 9), ("e", "f", 8)]
     assert select_merge_batch(r, 2) == [("a", "b"), ("c", "d")]

@@ -458,3 +458,60 @@ def test_rewrite_data_files_sorted_layout_prunes(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges  # disjoint => footer stats prune
+
+
+def test_legacy_table_append_validates_columns(spark, tmp_path):
+    """Appending mismatched columns to a pre-schema-tracking table must
+    raise instead of retro-tagging legacy files with a wrong schema
+    (review finding)."""
+    import json as _json
+    import os as _os
+
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([(1, 10.0)], "event_id bigint, value double"))
+    # strip the schema keys to simulate a legacy manifest
+    mpath = _os.path.join(t.meta_dir, sorted(_os.listdir(t.meta_dir))[0])
+    man = _json.load(open(mpath))
+    for k in ("schema", "schema_id", "schemas", "file_schemas"):
+        man.pop(k, None)
+    _json.dump(man, open(mpath, "w"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="legacy"):
+        t.append(
+            spark.createDataFrame([(2, 1.0)], "event_id bigint, val2 double")
+        )
+    # matching columns still append fine and re-derive the schema
+    sid = t.append(
+        spark.createDataFrame([(2, 20.0)], "event_id bigint, value double")
+    )
+    assert sid == 2
+    assert t.read(spark).count() == 2
+
+
+def test_rewrite_failure_leaves_table_unchanged(spark, tmp_path, monkeypatch):
+    """A rewrite whose staged output loses rows must abort BEFORE any
+    snapshot commit (review finding: the old post-commit guard left the
+    corrupt snapshot current)."""
+    from ionex_spark.sources import tableio as tio
+
+    t = tio.SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark.range(100).selectExpr("id", "id * 2 as v"))
+    pre = t.current_snapshot()
+
+    real_stage = tio.SnapshotTable._write_stage
+
+    def corrupt_stage(self, df):
+        return real_stage(self, df.filter("id < 50"))  # drop half
+
+    monkeypatch.setattr(tio.SnapshotTable, "_write_stage", corrupt_stage)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="changed row count"):
+        t.rewrite_data_files(spark, target_files=1)
+    post = t.current_snapshot()
+    assert post["snapshot_id"] == pre["snapshot_id"]  # no commit happened
+    assert t.read(spark).count() == 100
