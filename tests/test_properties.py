@@ -216,3 +216,97 @@ def test_gap_fill_matches_pandas_interpolate(spark):
         assert set(g.index[gaps]) == set(w.index) - set(
             series.dropna().index
         ), key
+
+
+# ---------------------------------------- batched-BPE parity (pure python)
+
+def _bpe_pair_counts(vocab):
+    from collections import Counter
+
+    c = Counter()
+    for syms, f in vocab.items():
+        for x, y in zip(syms, syms[1:]):
+            c[(x, y)] += f
+    return c
+
+
+def _bpe_apply(vocab, a, b):
+    out = {}
+    for syms, f in vocab.items():
+        merged, pend = [], None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == a and s == b:
+                merged.append(a + b)
+                pend = None
+            else:
+                merged.append(pend)
+                pend = s
+        if pend is not None:
+            merged.append(pend)
+        t = tuple(merged)
+        out[t] = out.get(t, 0) + f
+    return out
+
+
+def _bpe_rank(counts):
+    return sorted(
+        ((a, b, n) for (a, b), n in counts.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=7),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 8),
+    st.sampled_from([2, 3, 8]),
+)
+def test_bpe_batch_selection_equals_sequential(words, n_merges, batch):
+    """select_merge_batch's safe-prefix claim, stress-tested: for random
+    tiny-alphabet corpora (maximal pair interaction, self-pairs, concat
+    collisions — the regime where the review found the self-pair hole),
+    simulated batched training must produce EXACTLY the sequential
+    merge list and final vocabulary.  Pure Python — the simulation
+    mirrors bpe_train's collect limit max(2*want, 16) precisely."""
+    from collections import Counter
+
+    from ionex_spark.operators.text import select_merge_batch
+
+    base = Counter(words)
+    vocab0 = {tuple(w): f for w, f in base.items()}
+
+    # sequential reference
+    seq_vocab, seq_merges = dict(vocab0), []
+    for _ in range(n_merges):
+        counts = _bpe_pair_counts(
+            {s: f for s, f in seq_vocab.items() if len(s) >= 2}
+        )
+        if not counts:
+            break
+        a, b, _n = _bpe_rank(counts)[0]
+        seq_merges.append((a, b))
+        seq_vocab = _bpe_apply(seq_vocab, a, b)
+
+    # batched path through the real selector
+    b_vocab, b_merges = dict(vocab0), []
+    while len(b_merges) < n_merges:
+        counts = _bpe_pair_counts(
+            {s: f for s, f in b_vocab.items() if len(s) >= 2}
+        )
+        if not counts:
+            break
+        want = min(batch, n_merges - len(b_merges))
+        ranked = _bpe_rank(counts)[: max(2 * want, 16)]
+        picked = select_merge_batch(ranked, want)
+        b_merges.extend(picked)
+        for a, bb in picked:
+            b_vocab = _bpe_apply(b_vocab, a, bb)
+
+    assert b_merges == seq_merges, (words, n_merges, batch)
+    assert b_vocab == seq_vocab, (words, n_merges, batch)

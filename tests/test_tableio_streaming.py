@@ -515,3 +515,82 @@ def test_rewrite_failure_leaves_table_unchanged(spark, tmp_path, monkeypatch):
     post = t.current_snapshot()
     assert post["snapshot_id"] == pre["snapshot_id"]  # no commit happened
     assert t.read(spark).count() == 100
+
+
+def test_schema_evolution_random_sequence(spark, tmp_path):
+    """Randomized append/evolve/compact sequence against a plain pandas
+    model: after any interleaving, read() must equal the model under
+    the CURRENT schema and time travel must reproduce each historical
+    state (seeded, 12 steps)."""
+    import random
+
+    import pandas as pd
+
+    from ionex_spark.sources.tableio import SnapshotTable
+
+    rng = random.Random(77)
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    cols = ["id", "c0"]  # current logical schema (ordered)
+    next_col = 1
+    model = pd.DataFrame(columns=cols)  # expected CURRENT-schema rows
+    history = {}  # snapshot_id -> (cols, model copy)
+    next_id = 0
+
+    def _append():
+        nonlocal model, next_id
+        n = rng.randint(1, 5)
+        rows = [
+            tuple([next_id + i] + [float((next_id + i) * 10 + j)
+                                   for j in range(1, len(cols))])
+            for i in range(n)
+        ]
+        next_id += n
+        schema = ", ".join(
+            [f"{cols[0]} bigint"] + [f"{c} double" for c in cols[1:]]
+        )
+        sid = t.append(spark.createDataFrame(rows, schema))
+        model = pd.concat(
+            [model, pd.DataFrame(rows, columns=cols)], ignore_index=True
+        )
+        history[sid] = (list(cols), model.copy())
+
+    def _evolve():
+        nonlocal next_col
+        op = rng.choice(["rename", "add"])
+        if op == "rename" and len(cols) > 1:
+            i = rng.randrange(1, len(cols))
+            new = f"c{next_col}r"
+            model.rename(columns={cols[i]: new}, inplace=True)
+            t.evolve_schema(renames={cols[i]: new})
+            cols[i] = new
+        else:
+            new = f"c{next_col}"
+            next_col += 1
+            t.evolve_schema(add_columns={new: "double"})
+            cols.append(new)
+            model[new] = float("nan")
+        sid = t.current_snapshot()["snapshot_id"]
+        history[sid] = (list(cols), model.copy())
+
+    def _compact():
+        sid = t.rewrite_data_files(spark, target_files=2)
+        history[sid] = (list(cols), model.copy())
+
+    _append()
+    for _ in range(11):
+        rng.choice([_append, _append, _evolve, _compact])()
+
+    def check(df, want_cols, want_model):
+        got = df.toPandas().sort_values("id").reset_index(drop=True)
+        assert list(got.columns) == want_cols
+        want = want_model.sort_values("id").reset_index(drop=True)
+        for c in want_cols:
+            gv = got[c].astype(float) if c != "id" else got[c]
+            wv = want[c].astype(float) if c != "id" else want[c]
+            pd.testing.assert_series_equal(
+                gv, wv, check_names=False, check_dtype=False
+            )
+
+    check(t.read(spark), cols, model)
+    for sid, (hcols, hmodel) in history.items():
+        check(t.read(spark, sid), hcols, hmodel)
