@@ -142,6 +142,79 @@ class IcebergTable:
             f"SELECT * FROM {self.name} VERSION AS OF {int(snapshot_id)}"
         )
 
+    def schema(self, snapshot_id: int | None = None) -> list[dict]:
+        """Column list in SnapshotTable's shape (ids are ordinal here:
+        Iceberg tracks real field ids internally; the catalog surface
+        exposes names/types)."""
+        df = self.read(self.spark, snapshot_id)
+        return [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(df.schema.fields)
+        ]
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        """REPLACE snapshot via the DataFrameWriterV2 overwrite —
+        Iceberg commits it copy-on-write; prior snapshots stay
+        time-travelable, same contract as SnapshotTable.overwrite."""
+        before = {s["snapshot_id"] for s in self.snapshots()}
+        w = df.writeTo(self.name)
+        for k, v in (summary or {}).items():
+            w = w.option(f"snapshot-property.{k}", str(v))
+        w.overwritePartitions()
+        new = [s for s in self.snapshots() if s["snapshot_id"] not in before]
+        return new[-1]["snapshot_id"] if new else self.current_snapshot()["snapshot_id"]
+
+    def upsert(
+        self, spark: SparkSession, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """MERGE INTO — Iceberg's native row-level upsert (the operation
+        SnapshotTable emulates with a copy-on-write overwrite)."""
+        updates.createOrReplaceTempView("_upsert_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {self.name} t USING _upsert_src s ON {on}"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_snapshot()["snapshot_id"]
+
+    def evolve_schema(self, add_columns=None, renames=None, summary=None):
+        """On a real Iceberg table, schema evolution is native DDL with
+        the same field-id semantics SnapshotTable implements (ALTER
+        TABLE ... ADD COLUMN / RENAME COLUMN).  Issued through the
+        catalog so the metadata commit is Iceberg's own."""
+        for old, new in (renames or {}).items():
+            self.spark.sql(
+                f"ALTER TABLE {self.name} RENAME COLUMN {old} TO {new}"
+            )
+        for name, dtype in (add_columns or {}).items():
+            self.spark.sql(
+                f"ALTER TABLE {self.name} ADD COLUMN {name} {dtype}"
+            )
+        cur = self.current_snapshot()
+        return cur["snapshot_id"] if cur else None
+
+    def rewrite_data_files(
+        self, spark=None, target_files=None, sort_by=None, summary=None
+    ):
+        """Small-file compaction on real Iceberg is the
+        rewrite_data_files maintenance procedure; call it through the
+        catalog's system namespace.  sort_by maps to the procedure's
+        sort strategy."""
+        cat, _, tbl = self.name.rpartition(".")
+        cat = cat.split(".")[0] if cat else "spark_catalog"
+        strategy = (
+            f", strategy => 'sort', sort_order => '{', '.join(sort_by)}'"
+            if sort_by
+            else ""
+        )
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => '{self.name}'"
+            f"{strategy})"
+        )
+        cur = self.current_snapshot()
+        return cur["snapshot_id"] if cur else None
+
 
 class SnapshotTable:
     def __init__(self, root: str):

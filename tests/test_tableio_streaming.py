@@ -594,3 +594,14 @@ def test_schema_evolution_random_sequence(spark, tmp_path):
     check(t.read(spark), cols, model)
     for sid, (hcols, hmodel) in history.items():
         check(t.read(spark, sid), hcols, hmodel)
+
+
+def test_backend_surface_parity():
+    """Every public SnapshotTable operation must exist on IcebergTable
+    (mapped to native DDL/procedures), so make_table call sites stay
+    backend-agnostic as the surface grows."""
+    from ionex_spark.sources.tableio import IcebergTable, SnapshotTable
+
+    snap = {m for m in dir(SnapshotTable) if not m.startswith("_")}
+    ice = {m for m in dir(IcebergTable) if not m.startswith("_")}
+    assert snap <= ice, snap - ice
