@@ -183,7 +183,10 @@ def tile_representative(
     the dividend's sign and div truncates toward zero, so a negative
     score — e.g. a raw signed xxhash64 — would unpack into garbage
     silently): 0 <= score < 2^63 / id_space and 0 <= id < id_space;
-    violations raise.  Normalize signed hashes first (pmod)."""
+    violations raise.  Normalize signed hashes first (pmod).  NULL
+    score/id rows are ignored (NULL pkey never wins a min — the
+    pre-guard behavior); a tile whose rows are ALL null yields NULL
+    rep columns."""
     max_score = (1 << 63) // id_space
     pk = f"({score_col}) * cast({id_space} as bigint) + ({id_col})"
     guard = (
@@ -192,9 +195,12 @@ def tile_representative(
     )
     packed = df.selectExpr(
         f"{tile_col} as tile",
-        f"if({guard}, {pk}, cast(raise_error('tile_representative:"
+        f"case when ({score_col}) is null or ({id_col}) is null"
+        f" then cast(null as bigint)"
+        f" when {guard} then {pk}"
+        f" else cast(raise_error('tile_representative:"
         f" score must be in [0, {max_score}) and id in [0, {id_space})')"
-        " as bigint)) as pkey",
+        " as bigint) end as pkey",
     )
     return (
         packed.groupBy("tile")

@@ -153,14 +153,19 @@ class IcebergTable:
         ]
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
-        """REPLACE snapshot via the DataFrameWriterV2 overwrite —
-        Iceberg commits it copy-on-write; prior snapshots stay
-        time-travelable, same contract as SnapshotTable.overwrite."""
+        """FULL-TABLE replace snapshot (SnapshotTable.overwrite's
+        contract: new version == exactly df) — overwrite(lit(True)),
+        NOT overwritePartitions(): dynamic partition overwrite would
+        leave old rows alive in partitions df lacks (review finding).
+        Iceberg commits copy-on-write; prior snapshots stay
+        time-travelable."""
+        from pyspark.sql import functions as F
+
         before = {s["snapshot_id"] for s in self.snapshots()}
         w = df.writeTo(self.name)
         for k, v in (summary or {}).items():
             w = w.option(f"snapshot-property.{k}", str(v))
-        w.overwritePartitions()
+        w.overwrite(F.lit(True))
         new = [s for s in self.snapshots() if s["snapshot_id"] not in before]
         return new[-1]["snapshot_id"] if new else self.current_snapshot()["snapshot_id"]
 
@@ -168,14 +173,23 @@ class IcebergTable:
         self, spark: SparkSession, updates: DataFrame, keys: list[str]
     ) -> int:
         """MERGE INTO — Iceberg's native row-level upsert (the operation
-        SnapshotTable emulates with a copy-on-write overwrite)."""
-        updates.createOrReplaceTempView("_upsert_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        spark.sql(
-            f"MERGE INTO {self.name} t USING _upsert_src s ON {on}"
-            " WHEN MATCHED THEN UPDATE SET *"
-            " WHEN NOT MATCHED THEN INSERT *"
-        )
+        SnapshotTable emulates with a copy-on-write overwrite).  The
+        source view name is unique per call and dropped afterwards so
+        concurrent upserts in one session cannot clobber each other's
+        source (review finding); the MERGE runs on the dataframe's own
+        session, where the view actually exists."""
+        sess = updates.sparkSession
+        view = f"_upsert_src_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            sess.sql(
+                f"MERGE INTO {self.name} t USING {view} s ON {on}"
+                " WHEN MATCHED THEN UPDATE SET *"
+                " WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            sess.catalog.dropTempView(view)
         return self.current_snapshot()["snapshot_id"]
 
     def evolve_schema(self, add_columns=None, renames=None, summary=None):
@@ -200,9 +214,30 @@ class IcebergTable:
         """Small-file compaction on real Iceberg is the
         rewrite_data_files maintenance procedure; call it through the
         catalog's system namespace.  sort_by maps to the procedure's
-        sort strategy."""
-        cat, _, tbl = self.name.rpartition(".")
-        cat = cat.split(".")[0] if cat else "spark_catalog"
+        sort strategy.  ``target_files`` and ``summary`` have no
+        Iceberg-procedure equivalent (Iceberg sizes output by
+        target-file-size-bytes and stamps its own snapshot summary) —
+        passing them warns instead of silently dropping (review
+        finding)."""
+        import warnings
+
+        if target_files is not None or summary is not None:
+            warnings.warn(
+                "IcebergTable.rewrite_data_files ignores target_files/"
+                "summary: Iceberg's procedure sizes output by "
+                "target-file-size-bytes and writes its own summary",
+                stacklevel=2,
+            )
+        # catalog component: only a 3+-part name carries one explicitly
+        # ('cat.db.tbl'); 'db.tbl' or 'tbl' resolve in the CURRENT
+        # catalog — naive rpartition would misread 'db' as the catalog
+        # (review finding)
+        parts = self.name.split(".")
+        cat = (
+            parts[0]
+            if len(parts) >= 3
+            else self.spark.catalog.currentCatalog()
+        )
         strategy = (
             f", strategy => 'sort', sort_order => '{', '.join(sort_by)}'"
             if sort_by
@@ -275,12 +310,20 @@ class SnapshotTable:
             for i, f in enumerate(df.schema.fields)
         ]
 
-    def _schema_state(self, parent: dict | None, df: DataFrame):
+    def _schema_state(
+        self, parent: dict | None, df: DataFrame, check_legacy: bool = False
+    ):
         """(schema, schema_id, schemas) for a data commit: reuse the
         parent's current schema (validating df against it) or derive one
         on first write / on a legacy table (whose existing files are
         retro-tagged with the derived schema — they were all written
-        under it, schema change was impossible before tracking)."""
+        under it, schema change was impossible before tracking).
+
+        ``check_legacy`` applies only to the legacy-manifest branch and
+        only the APPEND path sets it: append carries the legacy files
+        into the new snapshot, so the derived schema must match their
+        footers; overwrite/rewrite reference only freshly written files,
+        where a column change is legitimate (review finding)."""
         if parent and parent.get("schema"):
             schema = parent["schema"]
             want = {c["name"] for c in schema}
@@ -293,7 +336,7 @@ class SnapshotTable:
                 )
             return schema, parent["schema_id"], parent["schemas"]
         schema = self._derive_schema(df)
-        if parent and parent.get("files"):
+        if check_legacy and parent and parent.get("files"):
             # legacy table (committed before schema tracking): the new
             # df's derived schema retro-tags the old files, so it must
             # actually MATCH them — validate against one file's footer
@@ -346,7 +389,9 @@ class SnapshotTable:
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Write df as new parquet files + commit a child snapshot."""
         parent = self.current_snapshot()
-        schema, schema_id, schemas = self._schema_state(parent, df)
+        schema, schema_id, schemas = self._schema_state(
+            parent, df, check_legacy=True
+        )
         # write columns in schema order so footers match across files
         files = self._write_stage(df.select(*[c["name"] for c in schema]))
         prev_files = parent["files"] if parent else []
@@ -538,11 +583,12 @@ class SnapshotTable:
                 f"compaction changed row count {before} -> {after};"
                 f" staged files {files[:1]}... abandoned, table unchanged"
             )
-        sid = (parent["snapshot_id"] + 1) if parent else 1
+        # parent is never None here: self.read() above raised for an
+        # empty table and parent["files"] was already dereferenced
         return self._commit(
             {
-                "snapshot_id": sid,
-                "parent_id": parent["snapshot_id"] if parent else None,
+                "snapshot_id": parent["snapshot_id"] + 1,
+                "parent_id": parent["snapshot_id"],
                 "timestamp": time.time(),
                 "files": files,
                 "added_files": files,
@@ -551,7 +597,14 @@ class SnapshotTable:
                 "schema_id": schema_id,
                 "schemas": schemas,
                 "file_schemas": {f: schema_id for f in files},
-                "summary": {**(summary or {}), "op": "rewrite-data-files"},
+                "summary": {
+                    **(summary or {}),
+                    "op": "rewrite-data-files",
+                    # carry the verified row count so consumers (e.g.
+                    # the maintenance job's metrics line) need no
+                    # third full-table scan
+                    "rows": after,
+                },
             }
         )
 

@@ -66,7 +66,9 @@ def main() -> None:
         },
     )
     post = t.current_snapshot()
-    rows = t.read(spark).count()
+    # the rewrite's pre-commit guard already counted the rows; reuse it
+    # instead of a third full-table scan
+    rows = post["summary"]["rows"]
     print(
         json.dumps(
             {

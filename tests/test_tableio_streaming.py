@@ -560,6 +560,8 @@ def test_schema_evolution_random_sequence(spark, tmp_path):
         if op == "rename" and len(cols) > 1:
             i = rng.randrange(1, len(cols))
             new = f"c{next_col}r"
+            next_col += 1  # consume the counter: two renames in a row
+            # must not generate the same target name
             model.rename(columns={cols[i]: new}, inplace=True)
             t.evolve_schema(renames={cols[i]: new})
             cols[i] = new
