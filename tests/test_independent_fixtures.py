@@ -406,3 +406,25 @@ def test_tile_representative_rejects_out_of_domain(spark):
     )
     with pytest.raises(PySparkException, match="tile_representative"):
         tile_representative(bad, "tile", "id", "score").collect()
+
+
+def test_tile_representative_ignores_null_rows(spark):
+    """NULL score/id rows never win (or abort) the argmin; an all-null
+    tile yields NULL rep columns."""
+    from ionex_spark.operators.tiles import tile_representative
+
+    df = spark.createDataFrame(
+        [(1, 5, 30), (1, 6, None), (2, 7, None)],
+        "tile bigint, id bigint, score bigint",
+    )
+    got = (
+        tile_representative(df, "tile", "id", "score")
+        .toPandas()
+        .set_index("tile")
+        .sort_index()
+    )
+    assert got.loc[1, "rep_id"] == 5 and got.loc[1, "rep_score"] == 30
+    assert got.loc[1, "n_rows"] == 2
+    import pandas as pd
+
+    assert pd.isna(got.loc[2, "rep_id"]) and pd.isna(got.loc[2, "rep_score"])
