@@ -336,3 +336,36 @@ def streaming_interval_join(
         F.col("v_user_id").alias("user_id"),
         "view_id", "view_ts", "click_id", "click_ts",
     )
+
+
+# ------------------------------------------- streaming histogram sketch
+
+def streaming_histogram_bins(
+    stream: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_width: float,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked streaming build of the MERGEABLE fixed-bin histogram
+    (operators/sketch.histogram_bins): bin assignment is a narrow
+    per-row expression, the per-(group, bin) count is an ordinary
+    streaming aggregation whose state is exactly the batch sketch —
+    mergeability is what makes the sketch streamable at all (each
+    micro-batch's partial bins fold into state by addition, the same
+    `+` that merges two batch histograms).  Downstream consumers read
+    quantiles off the complete-mode sink with
+    sketch.histogram_quantiles, identically to batch.
+
+    State bound: #groups x #non-empty-bins rows, independent of stream
+    length — the constant-size property carries over verbatim."""
+    binned = stream.withWatermark(ts_col, watermark).selectExpr(
+        ts_col,
+        *group_cols,
+        f"cast(floor(({value_col}) / cast({bin_width!r} as double))"
+        " as bigint) as bin",
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
