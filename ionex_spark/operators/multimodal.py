@@ -205,3 +205,65 @@ def multimodal_near_dup_pairs(
         F.coalesce("caption_dup", F.lit(0)).alias("caption_dup"),
         "hamming", "jaccard",
     )
+
+
+PATCH_SCHEMA = (
+    "image_id string, patch_row int, patch_col int,"
+    " patch array<float>, n_rows int, n_cols int"
+)
+
+
+def patchify(
+    df: DataFrame, patch: int = 16, channels_last: bool = True
+) -> DataFrame:
+    """ViT-style PATCH EXTRACTION: decode each image and emit one row
+    per non-overlapping patch x patch tile, the flattened float patch
+    as an array column — the vision-training twin of sequence packing
+    (image -> token grid).  Images are cropped to whole patches
+    (floor(h/p) x floor(w/p) grid, the standard ViT behavior for
+    non-multiple sizes).
+
+    Shape at 10^12 images: decode + slice runs inside one mapInPandas
+    pass (Arrow batches, no per-row Python call overhead beyond the
+    decode loop), output explodes by the patch count — the heavy
+    column ('patch') is born AFTER the shuffle-free map, so no byte of
+    pixel data crosses an exchange unless the consumer aggregates.
+    bytes is projected away on output (payload discipline)."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ionex_spark.core import codec
+
+        for pdf in it:
+            ids, prs, pcs, pats, nrs, ncs = [], [], [], [], [], []
+            for k in range(len(pdf)):
+                img = codec.decode_image(
+                    pdf["bytes"].iloc[k], pdf["fmt"].iloc[k]
+                ).astype(np.float32)
+                hh, ww = img.shape[:2]
+                nr, nc = hh // patch, ww // patch
+                for r in range(nr):
+                    for c in range(nc):
+                        tile = img[
+                            r * patch:(r + 1) * patch,
+                            c * patch:(c + 1) * patch,
+                        ]
+                        ids.append(pdf["image_id"].iloc[k])
+                        prs.append(r)
+                        pcs.append(c)
+                        pats.append(tile.reshape(-1))
+                        nrs.append(nr)
+                        ncs.append(nc)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "patch_row": prs,
+                    "patch_col": pcs,
+                    "patch": pats,
+                    "n_rows": nrs,
+                    "n_cols": ncs,
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        fn, PATCH_SCHEMA
+    )

@@ -1248,3 +1248,38 @@ def test_bloom_filter_semantics(spark):
     both = a.unionByName(b).selectExpr("v as probe_id", "v")
     mh = bloom_membership(both, merged, "v", m, k).toPandas()
     assert (mh["maybe_present"] == 1).all()
+
+
+def test_patchify_reconstructs_and_grid_shape(spark):
+    """Patch extraction: grid dimensions floor to whole patches, every
+    patch's pixels equal the decoded source region, and stitching the
+    patches back reproduces the cropped image exactly (lossless ppm
+    path)."""
+    from ionex_spark.core import codec
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 6, partitions=2).filter("fmt = 'ppm'")
+    if imgs.count() == 0:  # deterministic generator: ensure some ppm
+        pytest.skip("no lossless rows in sample")
+    got = mm.patchify(imgs, patch=8).toPandas()
+    src = imgs.select("image_id", "bytes", "fmt").toPandas().set_index(
+        "image_id"
+    )
+    for image_id, g in got.groupby("image_id"):
+        img = codec.decode_image(
+            src.loc[image_id, "bytes"], src.loc[image_id, "fmt"]
+        ).astype("float32")
+        hh, ww = img.shape[:2]
+        nr, nc = hh // 8, ww // 8
+        assert set(zip(g["patch_row"], g["patch_col"])) == {
+            (r, c) for r in range(nr) for c in range(nc)
+        }
+        assert (g["n_rows"] == nr).all() and (g["n_cols"] == nc).all()
+        recon = np.zeros((nr * 8, nc * 8, 3), dtype="float32")
+        for _, row in g.iterrows():
+            tile = np.array(row["patch"], dtype="float32").reshape(8, 8, 3)
+            recon[
+                row["patch_row"] * 8:(row["patch_row"] + 1) * 8,
+                row["patch_col"] * 8:(row["patch_col"] + 1) * 8,
+            ] = tile
+        np.testing.assert_array_equal(recon, img[: nr * 8, : nc * 8])
