@@ -284,7 +284,7 @@ def main() -> None:
             "knn_points_metrics", "schema_evolution_rollup",
             "compacted_snapshot_rollup", "histogram_quantiles_value",
             "url_dedup_canonical", "tile_representative_image",
-            "domain_pagerank",
+            "domain_pagerank", "dedup_containment_pairs",
         ]
     )
     for name in bench_queries:

@@ -767,3 +767,52 @@ def hamming_pairs_from_sig(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    c(A->B) = |S(A) & S(B)| / |S(A)| (Broder's containment, the measure
+    jaccard misses when sizes differ — a document quoted whole inside a
+    10x larger one scores jaccard ~0.1 but containment ~1.0).  Emits
+    (id_a, id_b, n_shared, n_a, n_b, containment_ab, containment_ba)
+    for pairs where EITHER direction reaches ``min_containment`` — the
+    sub-document-duplication hygiene pass of a web corpus.
+
+    Scale shape: the pair candidates come from the shingle INVERTED
+    INDEX join (distinct per-doc shingles self-joined on shingle, a < b)
+    — never all-pairs; cost is bounded by shared-shingle co-occurrence
+    like the decontamination join, and the per-pair rollup + two count
+    joins shuffle on uniform keys."""
+    sh = shingles_exploded(docs, id_col, text_col, n=n).dropDuplicates(
+        [id_col, "token"]
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.selectExpr(f"{id_col} as id_a", "token")
+    b = sh.selectExpr(f"{id_col} as id_b", "token")
+    inter = (
+        a.join(b, "token")
+        .filter("id_a < id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(counts.selectExpr(f"{id_col} as id_a", "n_sh as n_a"), "id_a")
+        .join(counts.selectExpr(f"{id_col} as id_b", "n_sh as n_b"), "id_b")
+        .selectExpr(
+            "id_a", "id_b", "n_shared", "n_a", "n_b",
+            "cast(n_shared as double) / cast(n_a as double)"
+            " as containment_ab",
+            "cast(n_shared as double) / cast(n_b as double)"
+            " as containment_ba",
+        )
+    )
+    thr = f"cast({min_containment!r} as double)"
+    return out.filter(
+        f"containment_ab >= {thr} or containment_ba >= {thr}"
+    )

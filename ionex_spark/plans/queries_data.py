@@ -2017,3 +2017,42 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_rank=_PR_INIT, damping_ppm=_PR_DAMP,
     )
     return out.selectExpr("node as domain", "rank")
+
+
+# ------------------------------------------- shingle containment pairs
+
+_DUCK_CONTAINMENT = f"""
+WITH sh AS ({dd.shingles_duckdb_sql(3, distinct=True)}),
+cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, n_shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         CAST(n_shared AS DOUBLE) / CAST(ca.n_sh AS DOUBLE)
+           AS containment_ab,
+         CAST(n_shared AS DOUBLE) / CAST(cb.n_sh AS DOUBLE)
+           AS containment_ba
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT * FROM scored
+WHERE containment_ab >= CAST(0.6 AS DOUBLE)
+   OR containment_ba >= CAST(0.6 AS DOUBLE)
+"""
+
+
+@register("dedup_containment_pairs", oracle=_DUCK_CONTAINMENT, priority=100)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection via shingle CONTAINMENT (Broder):
+    c(A->B) = |S(A) & S(B)| / |S(A)| — the sub-document-duplication
+    measure jaccard misses when sizes differ (a doc quoted whole inside
+    a 10x larger one: jaccard ~0.1, containment ~1.0).  Candidates come
+    from the shingle inverted-index join (never all-pairs;
+    operators/dedup.containment_pairs); pairs where either direction
+    reaches 0.6 survive."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.containment_pairs(docs, n=3, min_containment=0.6)

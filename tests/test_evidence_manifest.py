@@ -195,6 +195,9 @@ EVIDENCE: dict[str, list[str]] = {
         "oracle",  # recursive-CTE CC vs star contraction: different algorithms
         f"{T}/test_spark_ops.py::test_connected_components_star_deep_chain_and_parity",
     ],
+    "dedup_containment_pairs": [
+        f"{T}/test_spark_ops.py::test_containment_asymmetric_planted",
+    ],
     "decontam_bench_overlap": [
         f"{T}/test_spark_ops.py::test_contamination_hits_planted",
         f"{T}/test_spark_ops.py::test_contamination_id_collision_is_not_exempt_by_default",

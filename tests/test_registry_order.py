@@ -35,6 +35,7 @@ NEW_THIS_ROUND = {
     "url_dedup_canonical",
     "tile_representative_image",
     "domain_pagerank",
+    "dedup_containment_pairs",
 }
 
 

@@ -1283,3 +1283,31 @@ def test_patchify_reconstructs_and_grid_shape(spark):
                 row["patch_col"] * 8:(row["patch_col"] + 1) * 8,
             ] = tile
         np.testing.assert_array_equal(recon, img[: nr * 8, : nc * 8])
+
+
+def test_containment_asymmetric_planted(spark):
+    """Hand-planted sub-document duplication: doc 2 is a verbatim slice
+    of doc 1 (containment(2->1) = 1.0 while jaccard is low); doc 3 is
+    unrelated.  Expected counts computed by hand from the shingle
+    sets."""
+    big_words = [f"w{i}" for i in range(40)]
+    quote = big_words[10:20]  # 10 words -> 8 trigram shingles
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(big_words)),      # 38 trigrams
+            (2, " ".join(quote)),          # 8 trigrams, all inside doc 1
+            (3, "unrelated words entirely different from others"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in dd.containment_pairs(
+            docs, n=3, min_containment=0.9
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert (r.n_shared, r.n_a, r.n_b) == (8, 38, 8)
+    assert r.containment_ba == 1.0            # the quoted doc: fully contained
+    assert r.containment_ab == 8 / 38         # jaccard-style view stays low
