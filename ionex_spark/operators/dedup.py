@@ -775,6 +775,7 @@ def containment_pairs(
     min_containment: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle CONTAINMENT
     c(A->B) = |S(A) & S(B)| / |S(A)| (Broder's containment, the measure
@@ -784,15 +785,32 @@ def containment_pairs(
     for pairs where EITHER direction reaches ``min_containment`` — the
     sub-document-duplication hygiene pass of a web corpus.
 
-    Scale shape: the pair candidates come from the shingle INVERTED
-    INDEX join (distinct per-doc shingles self-joined on shingle, a < b)
-    — never all-pairs; cost is bounded by shared-shingle co-occurrence
-    like the decontamination join, and the per-pair rollup + two count
-    joins shuffle on uniform keys."""
+    Scale shape: candidates come from the shingle INVERTED INDEX
+    self-join (a < b) — never all-pairs, but the index join is
+    quadratic IN EACH SHINGLE's document frequency: one boilerplate
+    trigram in 1M docs alone makes ~5e11 intermediate rows (review
+    finding — unlike the decontamination join, there is no small
+    broadcast side here).  At corpus scale set ``max_doc_freq`` to
+    drop shingles above that document frequency from the index before
+    the join — the standard df-cap: hot shingles are boilerplate with
+    no discriminative value, and capping bounds the join at
+    sum(df_i^2) <= max_doc_freq * |index|.  The denominators n_a/n_b
+    still count ALL shingles, so capping can only LOWER containment
+    (never a false positive); the default None is exact and right for
+    bench/gate scale."""
     sh = shingles_exploded(docs, id_col, text_col, n=n).dropDuplicates(
         [id_col, "token"]
     )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        from pyspark.sql.window import Window
+
+        df_w = Window.partitionBy("token")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     a = sh.selectExpr(f"{id_col} as id_a", "token")
     b = sh.selectExpr(f"{id_col} as id_b", "token")
     inter = (

@@ -213,57 +213,69 @@ PATCH_SCHEMA = (
 )
 
 
-def patchify(
-    df: DataFrame, patch: int = 16, channels_last: bool = True
-) -> DataFrame:
+def patchify(df: DataFrame, patch: int = 16) -> DataFrame:
     """ViT-style PATCH EXTRACTION: decode each image and emit one row
-    per non-overlapping patch x patch tile, the flattened float patch
-    as an array column — the vision-training twin of sequence packing
-    (image -> token grid).  Images are cropped to whole patches
-    (floor(h/p) x floor(w/p) grid, the standard ViT behavior for
-    non-multiple sizes).
+    per non-overlapping patch x patch tile, the flattened (row-major
+    HWC) float patch as an array column — the vision-training twin of
+    sequence packing (image -> token grid).  Images are cropped to
+    whole patches (floor(h/p) x floor(w/p) grid, the standard ViT
+    behavior for non-multiple sizes).
 
-    Shape at 10^12 images: decode + slice runs inside one mapInPandas
-    pass (Arrow batches, no per-row Python call overhead beyond the
-    decode loop), output explodes by the patch count — the heavy
-    column ('patch') is born AFTER the shuffle-free map, so no byte of
-    pixel data crosses an exchange unless the consumer aggregates.
-    bytes is projected away on output (payload discipline)."""
+    Shape at 10^12 images: decode runs once per image and the whole
+    patch grid is produced by ONE numpy reshape/transpose (no per-patch
+    Python loop — review finding: the loop version paid ~200 Python
+    iterations per 224x224 image); the heavy column ('patch') is born
+    AFTER the shuffle-free map, so no byte of pixel data crosses an
+    exchange unless the consumer aggregates.  bytes is projected away
+    on output (payload discipline)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ionex_spark.core import codec
 
         for pdf in it:
-            ids, prs, pcs, pats, nrs, ncs = [], [], [], [], [], []
+            frames = []
             for k in range(len(pdf)):
                 img = codec.decode_image(
                     pdf["bytes"].iloc[k], pdf["fmt"].iloc[k]
                 ).astype(np.float32)
                 hh, ww = img.shape[:2]
                 nr, nc = hh // patch, ww // patch
-                for r in range(nr):
-                    for c in range(nc):
-                        tile = img[
-                            r * patch:(r + 1) * patch,
-                            c * patch:(c + 1) * patch,
-                        ]
-                        ids.append(pdf["image_id"].iloc[k])
-                        prs.append(r)
-                        pcs.append(c)
-                        pats.append(tile.reshape(-1))
-                        nrs.append(nr)
-                        ncs.append(nc)
-            yield pd.DataFrame(
-                {
-                    "image_id": ids,
-                    "patch_row": prs,
-                    "patch_col": pcs,
-                    "patch": pats,
-                    "n_rows": nrs,
-                    "n_cols": ncs,
-                }
+                if nr == 0 or nc == 0:
+                    continue
+                tiles = (
+                    img[: nr * patch, : nc * patch]
+                    .reshape(nr, patch, nc, patch, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(nr * nc, -1)
+                )
+                rows, cols = np.divmod(np.arange(nr * nc), nc)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": pdf["image_id"].iloc[k],
+                            "patch_row": rows.astype("int32"),
+                            "patch_col": cols.astype("int32"),
+                            "patch": list(tiles),
+                            "n_rows": np.int32(nr),
+                            "n_cols": np.int32(nc),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "image_id": pd.Series([], dtype="object"),
+                        "patch_row": pd.Series([], dtype="int32"),
+                        "patch_col": pd.Series([], dtype="int32"),
+                        "patch": pd.Series([], dtype="object"),
+                        "n_rows": pd.Series([], dtype="int32"),
+                        "n_cols": pd.Series([], dtype="int32"),
+                    }
+                )
             )
 
-    return df.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
         fn, PATCH_SCHEMA
     )

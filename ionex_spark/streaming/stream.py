@@ -345,27 +345,24 @@ def streaming_histogram_bins(
     group_cols: list[str],
     value_col: str,
     bin_width: float,
-    ts_col: str = "ts",
-    watermark: str = "2 hours",
 ) -> DataFrame:
-    """Watermarked streaming build of the MERGEABLE fixed-bin histogram
-    (operators/sketch.histogram_bins): bin assignment is a narrow
-    per-row expression, the per-(group, bin) count is an ordinary
-    streaming aggregation whose state is exactly the batch sketch —
-    mergeability is what makes the sketch streamable at all (each
+    """Streaming build of the MERGEABLE fixed-bin histogram: delegates
+    to the BATCH operator (sketch.histogram_bins works unchanged on a
+    streaming DataFrame — groupBy/agg is the same logical plan), so the
+    streaming state IS the batch sketch by construction and the two
+    can never drift (the shingles_exploded-reuse convention; review
+    finding: the first version re-spelled the bin expression).
+    Mergeability is what makes the sketch streamable at all: each
     micro-batch's partial bins fold into state by addition, the same
-    `+` that merges two batch histograms).  Downstream consumers read
-    quantiles off the complete-mode sink with
-    sketch.histogram_quantiles, identically to batch.
+    `+` that merges two batch histograms.  Consumers read quantiles off
+    the complete-mode sink with sketch.histogram_quantiles, identically
+    to batch.
 
-    State bound: #groups x #non-empty-bins rows, independent of stream
-    length — the constant-size property carries over verbatim."""
-    binned = stream.withWatermark(ts_col, watermark).selectExpr(
-        ts_col,
-        *group_cols,
-        f"cast(floor(({value_col}) / cast({bin_width!r} as double))"
-        " as bigint) as bin",
-    )
-    return binned.groupBy(*group_cols, "bin").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    No watermark: the grouping key carries no event time, so there is
+    nothing to evict — state is bounded at #groups x #non-empty-bins
+    rows by the sketch itself, independent of stream length (a
+    lateness-windowed variant would group by F.window(ts) additionally,
+    like windowed_tile_counts)."""
+    from ionex_spark.operators import sketch as sk
+
+    return sk.histogram_bins(stream, group_cols, value_col, bin_width)

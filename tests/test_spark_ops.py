@@ -1258,9 +1258,9 @@ def test_patchify_reconstructs_and_grid_shape(spark):
     from ionex_spark.core import codec
     from ionex_spark.sources.images import images_df
 
+    # the deterministic generator emits fmt='ppm' for even ids, so the
+    # lossless subset is always non-empty
     imgs = images_df(spark, 6, partitions=2).filter("fmt = 'ppm'")
-    if imgs.count() == 0:  # deterministic generator: ensure some ppm
-        pytest.skip("no lossless rows in sample")
     got = mm.patchify(imgs, patch=8).toPandas()
     src = imgs.select("image_id", "bytes", "fmt").toPandas().set_index(
         "image_id"
@@ -1311,3 +1311,31 @@ def test_containment_asymmetric_planted(spark):
     assert (r.n_shared, r.n_a, r.n_b) == (8, 38, 8)
     assert r.containment_ba == 1.0            # the quoted doc: fully contained
     assert r.containment_ab == 8 / 38         # jaccard-style view stays low
+
+
+def test_containment_doc_freq_cap_never_false_positive(spark):
+    """The df-cap drops hot-shingle pairs but can only LOWER containment
+    (denominators count all shingles): capped output is a subset of the
+    exact output with identical surviving rows."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common alpha beta gamma delta"),
+            (2, "common common common alpha beta gamma delta"),
+            (3, "common common common zebra yak xylophone walrus"),
+        ],
+        "doc_id bigint, text string",
+    )
+    exact = {
+        (r.id_a, r.id_b): (r.n_shared, r.containment_ab)
+        for r in dd.containment_pairs(docs, min_containment=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.n_shared, r.containment_ab)
+        for r in dd.containment_pairs(
+            docs, min_containment=0.5, max_doc_freq=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert (1, 2) in capped  # the true duplicate pair survives the cap
+    for k, (n_sh, c_ab) in capped.items():
+        assert n_sh <= exact[k][0] and c_ab <= exact[k][1]
