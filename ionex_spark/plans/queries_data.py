@@ -1712,7 +1712,7 @@ def _scratch_table(prefix: str):
 
 @register(
     "schema_evolution_rollup",
-    priority=100,
+    priority=50,
     oracle="""
 WITH unioned AS (
   SELECT event_id, value AS val, CAST(NULL AS DOUBLE) AS w
@@ -1767,7 +1767,7 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "compacted_snapshot_rollup",
-    priority=100,
+    priority=50,
     oracle="""
 SELECT event_type,
        count(*) AS n,
@@ -1811,7 +1811,7 @@ def compacted_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "histogram_quantiles_value",
-    priority=100,
+    priority=50,
     oracle="""
 WITH b AS (
   SELECT event_type,
@@ -1875,7 +1875,7 @@ concat(
 
 @register(
     "url_dedup_canonical",
-    priority=100,
+    priority=50,
     oracle=None,  # set below: needs the canonical kernel text
 )
 def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1915,7 +1915,7 @@ FROM urls GROUP BY 1
 
 @register(
     "tile_representative_image",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH imgs AS (
   SELECT event_id,
@@ -1964,7 +1964,7 @@ _PR_BASE = ((1_000_000 - _PR_DAMP) * _PR_INIT) // 1_000_000
 
 @register(
     "domain_pagerank",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH RECURSIVE
 nd AS (SELECT DISTINCT doc_id % 500 AS node FROM documents),
@@ -2045,7 +2045,7 @@ WHERE containment_ab >= CAST(0.6 AS DOUBLE)
 """
 
 
-@register("dedup_containment_pairs", oracle=_DUCK_CONTAINMENT, priority=100)
+@register("dedup_containment_pairs", oracle=_DUCK_CONTAINMENT, priority=50)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup detection via shingle CONTAINMENT (Broder):
     c(A->B) = |S(A) & S(B)| / |S(A)| — the sub-document-duplication

@@ -2041,7 +2041,7 @@ _TEC3_ORACLE = sqlgen.trilinear_sql(
 
 @register(
     "alt_interp_trilinear",
-    priority=100,
+    priority=50,
     oracle=f"""
 WITH pts AS ({_ALT_PTS_SQL}),
 idx AS (
@@ -2083,7 +2083,7 @@ def alt_interp_trilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "skew_salted_join",
-    priority=100,
+    priority=50,
     oracle="""
 WITH facts AS (
   SELECT event_id,

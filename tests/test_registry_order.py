@@ -5,10 +5,11 @@ __spark_entry__.queries() in iteration order.  Since round 5 the
 ordering is staleness-dominant: after the explicit priority-100 block
 (new/changed work), entries sort by the age of their last green driver
 row (ionex_spark/plans/gate_history.json, regenerated from the driver's
-own CORRECTNESS_r*.json by tools/gen_gate_history.py).  These tests pin
-the rotation invariant — no oracled query may go >= 2 rounds without a
-green driver row — so a future registration can't silently push risky
-work outside the gate again.
+own CORRECTNESS_r*.json — self-healing since round 6).  These tests pin
+the rotation invariant — no oracled query may go beyond its staleness
+budget (2 rounds, or 3 once deeply verified with >= DEEP_EVIDENCE green
+rounds) without a green driver row — so a future registration can't
+silently push risky work outside the gate again.
 """
 
 import glob
@@ -26,16 +27,14 @@ REPO = "/root/repo"
 # registered at priority 100 so the driver gate sees them regardless of
 # rotation state.  Update each round.
 NEW_THIS_ROUND = {
-    "alt_interp_trilinear",
-    "skew_salted_join",
-    "compacted_snapshot_rollup",
-    "schema_evolution_rollup",
-    "knn_points_metrics",
-    "histogram_quantiles_value",
-    "url_dedup_canonical",
-    "tile_representative_image",
-    "domain_pagerank",
-    "dedup_containment_pairs",
+    "corpus_mixture_sample",
+    "shard_manifest_rollup",
+    "dedup_containment_capped",
+    "patch_extract_stats",
+    "streaming_histogram_batch",
+    "knn_points_adaptive",
+    "domain_pagerank_dangling",
+    "knn_points_metrics",  # denominator fix (ADVICE r5) changes semantics
 }
 
 
@@ -44,7 +43,6 @@ def _entry():
 
     return m
 
-
 def _registry():
     from ionex_spark.plans import queries as q
 
@@ -52,8 +50,9 @@ def _registry():
 
 
 def test_gate_history_is_fresh():
-    """gate_history.json must cover every CORRECTNESS file on disk —
-    a stale history would mis-rotate the window next round."""
+    """gate_history() must cover every CORRECTNESS file on disk — since
+    round 6 it self-heals by regenerating from the driver files, so this
+    can only fail if the self-healing path itself breaks."""
     q = _registry()
     latest_on_disk = 0
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -61,37 +60,74 @@ def test_gate_history_is_fresh():
         if m:
             latest_on_disk = max(latest_on_disk, int(m.group(1)))
     assert q.gate_history()["latest_round"] == latest_on_disk, (
-        "gate_history.json is stale — run python tools/gen_gate_history.py"
+        "gate_history self-healing failed — check queries.gate_history()"
     )
 
 
 def test_gate_history_matches_regeneration():
-    """The committed JSON is exactly what the generator produces."""
+    """The served history is exactly what the generator produces."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import gen_gate_history
 
     assert gen_gate_history.build() == _registry().gate_history()
 
 
-def test_no_oracled_query_stale_beyond_two_rounds():
-    """THE rotation invariant: every oracled query whose last green
-    driver row is >= 2 rounds old (or that never had one) must be inside
-    the first-GATE_CAP window this round."""
+def test_gate_history_self_heals_from_stale_commit(tmp_path):
+    """Round-5 verdict task #1: a driver CORRECTNESS write after the
+    builder's last commit must NOT strand a stale committed JSON.  Write
+    a deliberately stale JSON, call gate_history(), and require both the
+    in-memory result and the re-written file to be fresh."""
+    q = _registry()
+    fresh = q.build_history(REPO)
+    stale = {"latest_round": fresh["latest_round"] - 1, "rounds": {}}
+    with open(q._HISTORY_PATH, "w") as f:
+        json.dump(stale, f)
+    try:
+        served = q.gate_history()
+        assert served == fresh
+        with open(q._HISTORY_PATH) as f:
+            assert json.load(f) == fresh
+    finally:  # restore the canonical file regardless
+        with open(q._HISTORY_PATH, "w") as f:
+            json.dump(fresh, f, indent=1, sort_keys=True)
+            f.write("\n")
+
+
+def test_gate_history_survives_corrupt_commit():
+    """A corrupt/truncated committed JSON (bad merge) must not crash the
+    registry (ADVICE r5): gate_history() falls back / regenerates."""
+    q = _registry()
+    fresh = q.build_history(REPO)
+    with open(q._HISTORY_PATH, "w") as f:
+        f.write("{truncated")
+    try:
+        assert q.gate_history() == fresh
+    finally:
+        with open(q._HISTORY_PATH, "w") as f:
+            json.dump(fresh, f, indent=1, sort_keys=True)
+            f.write("\n")
+
+
+def test_no_oracled_query_stale_beyond_budget():
+    """THE rotation invariant: every oracled query at or beyond its
+    staleness budget (2 rounds; 3 for deeply verified entries — see
+    queries.max_staleness) must be inside the first-GATE_CAP window this
+    round, so the driver re-greens it now."""
     q = _registry()
     names = list(_entry().queries())
     window = set(names[:GATE_CAP])
     hist = q.gate_history()
     cur = q.current_round()
-    stale = [
+    due = [
         n
         for n in names
         if n in q.ORACLES
         and (q.last_driver_round(n, hist) == 0
-             or cur - q.last_driver_round(n, hist) >= 2)
+             or cur - q.last_driver_round(n, hist) >= q.max_staleness(n, hist))
     ]
-    missing = set(stale) - window
+    missing = set(due) - window
     assert not missing, (
-        f"stale queries outside the {GATE_CAP}-entry gate window: {missing};"
+        f"due queries outside the {GATE_CAP}-entry gate window: {missing};"
         " demote multiply-verified entries or shrink this round's"
         " priority-100 block"
     )
@@ -110,17 +146,22 @@ def test_new_work_is_priority_100_and_inside_window():
 
 def test_priority_100_block_leads_and_is_small():
     """The explicit new-work block sorts first and must stay small
-    enough (< GATE_CAP - stale count head-room) that rotation still
-    covers every stale query.  A 100-entry left green by a past round
+    enough (< GATE_CAP - due count head-room) that rotation still
+    covers every due query.  A 100-entry left green by a past round
     should be demoted to 50."""
     q = _registry()
     names = list(_entry().queries())
     hundreds = [n for n in names if q.PRIORITY[n] >= 100]
+    hist = q.gate_history()
     assert names[: len(hundreds)] == sorted(
         hundreds,
-        key=lambda n: (q.last_driver_round(n), -q.PRIORITY[n], n),
+        key=lambda n: (
+            q.last_driver_round(n, hist),
+            q.evidence_depth(n, hist),
+            -q.PRIORITY[n],
+            n,
+        ),
     )
-    hist = q.gate_history()
     for n in hundreds:
         assert q.last_driver_round(n, hist) < q.current_round() - 1 or (
             n in NEW_THIS_ROUND
@@ -157,23 +198,35 @@ def test_ordering_is_import_order_independent():
     assert out.stdout.split() == list(_entry().queries())
 
 
-def test_rotation_would_cover_everything_in_two_rounds():
+def test_rotation_would_cover_everything_next_round():
     """Simulate: if the driver greens this round's window, does next
-    round's window cover everything that would then be stale?  Guards
-    against registry growth outpacing 2-round rotation capacity."""
+    round's window have capacity for everything that would then be due?
+    Guards against registry growth outpacing rotation capacity (round-5
+    verdict task #9: projected revisit gap must not exceed the tier
+    budget)."""
     q = _registry()
     names = list(_entry().queries())
     window = set(names[:GATE_CAP])
     hist = q.gate_history()
     cur = q.current_round()
-    # after this round: windowed queries get last=cur, others keep last
-    nxt = {
+    # after this round: windowed queries get last=cur, others keep last;
+    # windowed queries also gain one round of evidence depth
+    nxt_last = {
         n: (cur if n in window else q.last_driver_round(n, hist))
         for n in names
     }
-    stale_next = [n for n in names if n in q.ORACLES and (
-        nxt[n] == 0 or (cur + 1) - nxt[n] >= 2)]
-    assert len(stale_next) <= GATE_CAP, (
-        f"{len(stale_next)} queries would be stale next round — registry"
-        f" has outgrown 2-round rotation at cap {GATE_CAP}"
+    nxt_depth = {
+        n: q.evidence_depth(n, hist) + (1 if n in window else 0)
+        for n in names
+    }
+    due_next = [
+        n for n in names
+        if n in q.ORACLES
+        and (nxt_last[n] == 0
+             or (cur + 1) - nxt_last[n]
+             >= (3 if nxt_depth[n] >= q.DEEP_EVIDENCE else 2))
+    ]
+    assert len(due_next) <= GATE_CAP, (
+        f"{len(due_next)} queries would be due next round — registry"
+        f" has outgrown rotation capacity at cap {GATE_CAP}"
     )
