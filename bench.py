@@ -155,10 +155,13 @@ def images_e2e(spark):
 
     Two column-disjoint branches, each reading only what it needs: the
     rollup branch scans metadata columns (bytes stay columnar-pruned, the
-    payload-discipline plan invariant) while the verify branch filters the
-    sample ON THE SCAN before joining, so the expensive spatial join +
-    tile work runs once over the full table and once over ~1% — not twice
-    over everything."""
+    payload-discipline plan invariant) while the verify branch audits a
+    FILE-ALIGNED deterministic ~1% sample (multimodal.audit_sample_files)
+    so the expensive payload IO is ~1% of the table's bytes — the
+    round-6 fix for the images_e2e cost mystery: the old row-scattered
+    `phash % 100 = 0` predicate could not prune parquet pages, so the
+    "1% verify" decompressed 100% of the 2.3 GB bytes column
+    (~2.5 s of the ~3 s total)."""
     from pyspark.sql import functions as F
 
     from ionex_spark.functions import sqlgen
@@ -175,7 +178,12 @@ def images_e2e(spark):
         F.count(F.lit(1)).alias("n_images"), F.sum("tec").alias("sum_tec")
     )
 
-    sample_src = spark.read.parquet(IMAGES_PATH).filter("phash % 100 = 0")
+    # repartition the ~1% sample across all cores: a file-aligned sample
+    # lands in O(1) scan tasks, which would serialize the decode+PSNR
+    # work — shuffling 1% of the bytes is exactly the IO the design buys
+    sample_src = mm.audit_sample_files(
+        spark, IMAGES_PATH, fraction=0.01
+    ).repartition(CPUS * 2)
     sample = spatial.spatial_join_bilinear(sample_src, cells).withColumn(
         "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
     )

@@ -103,14 +103,21 @@ HOT_CELL_FRACTION = 0.2  # Zipfian share of rows planted into 3 hot cells
 HOT_CELLS = ((12.5, 17.5), (47.5, -122.5), (-33.5, 151.5))  # (lat, lon)
 
 
+def caption_of(i: int) -> str:
+    """Just the deterministic caption for row i — image_row minus the
+    pixel/phash work (0.6 ms/row regenerated pixels only to compare a
+    string; the verify path calls this per sampled row)."""
+    cap_words = [_WORDS[int(x)] for x in splitmix64(np.arange(3) + i * 7) % 20]
+    return f"caption of image {i}: " + " ".join(cap_words)
+
+
 def image_row(i: int, with_bytes: bool = True) -> dict:
     """One deterministic row of the `images` table (input_hint schema +
     derived query columns lat/lon/ts). Keyed only by the row index."""
     w = SIZES[i % 3]
     h = SIZES[(i // 3) % 3]
     fmt = "ppm" if i % 2 == 0 else "dct"
-    cap_words = [_WORDS[int(x)] for x in splitmix64(np.arange(3) + i * 7) % 20]
-    caption = f"caption of image {i}: " + " ".join(cap_words)
+    caption = caption_of(i)
     row = {
         "image_id": f"img{i:012d}",
         "w": np.int32(w),
