@@ -42,10 +42,21 @@ def pagerank_int(
         r'(n) = base + damping * sum_{(s,n) in E} (r(s) div outdeg(s))
 
     with base = ((PPM - damping) * init_rank) div PPM and all products/
-    divisions in int64 (init_rank * damping must stay < 2^63 — the
-    defaults leave 6 orders of magnitude of headroom).  Dangling-node
-    mass is dropped, the standard simplification for ranking use (total
-    mass decays but the ORDER is what curation consumes).
+    divisions in int64.  The overflow bound is on the DAMPED CONTRIB
+    term, and per-node contrib can approach the TOTAL mass on supernode
+    / star graphs (every node linking one hub): the hard constraint is
+
+        n_nodes * init_rank * damping_ppm < 2^63
+
+    (ADVICE r5 — the earlier `init_rank * damping < 2^63` reading was
+    wrong by a factor of n_nodes; with the defaults int64 would wrap
+    silently around n ≈ 1e7 nodes, realistic for domain ranking).  The
+    constructor enforces the bound and tells the caller how far to
+    scale ``init_rank`` down; at init_rank=1e6 the defaults support
+    ~1.08e10 nodes at init_rank=1, ~1.08e4 mass units per node at
+    1e6 nodes.  Dangling-node mass is dropped, the standard
+    simplification for ranking use (total mass decays but the ORDER is
+    what curation consumes).
 
     Output: (node, rank) after ``n_iter`` rounds."""
     e = (
@@ -61,6 +72,18 @@ def pagerank_int(
     spark = nodes.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(default_parts, n_edges // 500_000 + 1))
+
+    # overflow guard (ADVICE r5): damping * contrib must fit int64, and
+    # contrib is bounded only by total mass (star graphs funnel it all
+    # into one node).  Fail loudly instead of wrapping silently.
+    n_nodes = nodes.count()
+    if n_nodes * init_rank > (2**63 - 1) // max(damping_ppm, 1):
+        max_init = (2**63 - 1) // max(damping_ppm, 1) // max(n_nodes, 1)
+        raise ValueError(
+            f"pagerank_int overflow risk: n_nodes({n_nodes}) *"
+            f" init_rank({init_rank}) * damping_ppm({damping_ppm})"
+            f" exceeds 2^63; scale init_rank down to <= {max_init}"
+        )
 
     base = ((PPM - damping_ppm) * init_rank) // PPM
     ranks = nodes.selectExpr(

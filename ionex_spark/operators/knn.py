@@ -206,15 +206,31 @@ def knn_points(
     )
 
 
-def knn_fallback_metrics(tagged: DataFrame) -> DataFrame:
+def knn_fallback_metrics(
+    tagged: DataFrame, queries: DataFrame | None = None
+) -> DataFrame:
     """Roll a ``knn_points(..., tag_path=True)`` result up into the
     operator's observability row: how many queries took the certified
     cell-ring path vs the brute-force fallback, and the fallback
     fraction.  At 100 TB this is the one number that tells you whether
     ``cell_deg`` matches the corpus density (fraction near 0) or the
     operator is silently degrading to quadratic work (fraction near 1
-    — re-tune cell_deg)."""
+    — re-tune cell_deg).
+
+    Pass the original ``queries`` frame (qid, ...) so n_queries counts
+    EVERY input query: a query yielding zero result rows (empty corpus,
+    or a corpus containing only the query itself) would otherwise
+    vanish from the denominator (ADVICE r5 — latent divergence vs
+    oracles that count all queries).  A zero-row query counts as
+    FALLBACK — it failed the certificate and took the brute path, which
+    found nothing — matching the oracle's 1-is_exact accounting."""
     per_q = tagged.select("qid", "path").distinct()
+    if queries is not None:
+        per_q = (
+            queries.select("qid").distinct()
+            .join(per_q, "qid", "left")
+            .withColumn("path", F.coalesce("path", F.lit("brute")))
+        )
     return per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum(F.expr("case when path = 'cell' then 1 else 0 end")).alias(

@@ -99,11 +99,15 @@ def salted_join(
     bounded).  Join semantics are EXACTLY the unsalted join's: every
     (fact, dim) key match meets in exactly one salt bucket.
 
-    The fact side is hinted shuffle_hash so the optimizer cannot
-    "rescue" small test inputs with a broadcast and hide the skew path
-    being exercised; at real big-big scale the hint also picks hash
-    over sort-merge (no sort of the giant fact side).  AQE skew-split
-    stays on as backstop for residual bucket imbalance.
+    The DIM side is hinted shuffle_hash: a hint on either side forces
+    hash over sort-merge (no sort of the giant fact side) and stops the
+    optimizer "rescuing" small test inputs with a broadcast that would
+    hide the skew path — but JoinSelection prefers the HINTED side as
+    the hash-map BUILD side, so the hint must sit on the small
+    replicated dim, not the fact (ADVICE r5: a fact-side hint builds
+    per-task hash maps out of the skewed fact — executor OOM on hot
+    partitions at exactly the scale this operator exists for).  AQE
+    skew-split stays on as backstop for residual bucket imbalance.
 
     ``how`` may be inner or left (fact-preserving): an unmatched fact
     row lives in exactly one salt bucket, so it surfaces exactly once.
@@ -119,7 +123,6 @@ def salted_join(
         "salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
     )
     return (
-        f.hint("shuffle_hash")
-        .join(d, [*key_cols, "salt"], how)
+        f.join(d.hint("shuffle_hash"), [*key_cols, "salt"], how)
         .drop("salt")
     )

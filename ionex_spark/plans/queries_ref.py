@@ -2207,4 +2207,4 @@ def knn_points_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = knn_ops.knn_points(
         queries, corpus, k=3, cell_deg=5.0, tag_path=True
     )
-    return knn_ops.knn_fallback_metrics(tagged)
+    return knn_ops.knn_fallback_metrics(tagged, queries=queries)

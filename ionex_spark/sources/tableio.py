@@ -334,6 +334,21 @@ class SnapshotTable:
                     f" schema {sorted(want)}; use evolve_schema() to"
                     " add/rename columns first"
                 )
+            # types too (ADVICE r5): a same-named column of a different
+            # type would commit parquet files physically conflicting
+            # with earlier ones — fail at commit time, not read time
+            df_types = {f.name: f.dataType.simpleString()
+                        for f in df.schema.fields}
+            mismatched = [
+                f"{c['name']}: table={c['type']} df={df_types[c['name']]}"
+                for c in schema
+                if df_types[c["name"]] != c["type"]
+            ]
+            if mismatched:
+                raise ValueError(
+                    "dataframe column types do not match table schema: "
+                    + "; ".join(mismatched)
+                )
             return schema, parent["schema_id"], parent["schemas"]
         schema = self._derive_schema(df)
         if check_legacy and parent and parent.get("files"):

@@ -428,3 +428,21 @@ def test_tile_representative_ignores_null_rows(spark):
     import pandas as pd
 
     assert pd.isna(got.loc[2, "rep_id"]) and pd.isna(got.loc[2, "rep_score"])
+
+
+def test_pagerank_int_overflow_guard(spark):
+    """ADVICE r5: the int64 bound is n_nodes * init_rank * damping_ppm
+    < 2^63 (star graphs funnel ~all mass into one node's contrib) —
+    exceeding it must raise, not wrap silently."""
+    import pytest as _pytest
+
+    from ionex_spark.operators.graph import pagerank_int
+
+    nd = spark.createDataFrame([(n,) for n in range(4)], "node bigint")
+    ed = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src bigint, dst bigint")
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_int(nd, ed, n_iter=1, init_rank=2**62)
+    # just under the bound still runs
+    ok = pagerank_int(nd, ed, n_iter=1,
+                      init_rank=(2**63 - 1) // 1_000_000 // 4)
+    assert ok.count() == 4

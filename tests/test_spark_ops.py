@@ -1375,3 +1375,25 @@ def test_audit_sample_files_deterministic_subset(spark, tmp_path):
     # verify path still green on the sampled subset
     ver = mm.verify_payloads(s1).select("payload_ok", "caption_ok").toPandas()
     assert ver["payload_ok"].all() and ver["caption_ok"].all()
+
+
+def test_knn_fallback_metrics_counts_zero_row_queries(spark):
+    """ADVICE r5: a query with no result rows (corpus contains only the
+    query itself) must still count in n_queries — as a fallback, since
+    it failed the certificate and the brute path found nothing."""
+    queries = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "qid long, lat double, lon double"
+    )
+    # corpus = only the query point itself -> self-excluded -> the
+    # query produces zero result rows on both paths
+    corpus = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "cid long, lat double, lon double"
+    )
+    tagged = knn_ops.knn_points(queries, corpus, k=2, tag_path=True)
+    m = knn_ops.knn_fallback_metrics(tagged, queries=queries).collect()[0]
+    assert m.n_queries == 1
+    assert m.n_fallback == 1 and m.n_exact == 0
+    assert m.fallback_frac == 1.0
+    # without the queries frame the legacy rows-only denominator applies
+    legacy = knn_ops.knn_fallback_metrics(tagged).collect()[0]
+    assert legacy.n_queries == 0

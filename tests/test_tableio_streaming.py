@@ -404,6 +404,10 @@ def test_schema_evolution_guards(spark, tmp_path):
         t.evolve_schema(renames={"nope": "x"})
     with _pytest.raises(ValueError, match="already exists"):
         t.evolve_schema(add_columns={"id": "double"})
+    # ADVICE r5: same NAME but different TYPE must fail at commit time,
+    # not surface later as conflicting parquet physical types
+    with _pytest.raises(ValueError, match="types do not match"):
+        t.append(spark.createDataFrame([(1.5,)], "id double"))
 
 
 # ------------------------------------------------ small-file compaction
