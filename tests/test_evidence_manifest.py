@@ -350,6 +350,15 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_av.py::test_frame_sampling_feeds_image_pipeline",
         f"{T}/test_av.py::test_rawv_roundtrip",
     ],
+    # ---------------- tokens -> training shards (round 6)
+    "corpus_mixture_sample": [
+        f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
+        f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
+    ],
+    "shard_manifest_rollup": [
+        f"{T}/test_shards.py::test_shard_assign_matches_single_sort_reference",
+        f"{T}/test_shards.py::test_shard_manifest_checksum_hashlib_reference",
+    ],
 }
 
 
