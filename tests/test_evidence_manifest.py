@@ -198,6 +198,10 @@ EVIDENCE: dict[str, list[str]] = {
     "dedup_containment_pairs": [
         f"{T}/test_spark_ops.py::test_containment_asymmetric_planted",
     ],
+    "dedup_containment_capped": [
+        f"{T}/test_spark_ops.py::test_containment_asymmetric_planted",
+        f"{T}/test_spark_ops.py::test_containment_doc_freq_cap_never_false_positive",
+    ],
     "decontam_bench_overlap": [
         f"{T}/test_spark_ops.py::test_contamination_hits_planted",
         f"{T}/test_spark_ops.py::test_contamination_id_collision_is_not_exempt_by_default",
