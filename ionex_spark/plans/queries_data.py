@@ -2204,3 +2204,111 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_pairs(
         docs, n=3, min_containment=0.6, max_doc_freq=_CONTAIN_CAP
     )
+
+
+# ------------------------------------------ ViT patch extraction gate
+
+_PATCH_N_IMGS = 200
+_PATCH_P = 8
+
+
+def _patch_base_values() -> str:
+    """Inline (i, c, base, w, h) generator constants for the even
+    (ppm/lossless) images — fixture-style VALUES, like the PIP polygon
+    edges.  The oracle still recomputes every pixel (trig + round +
+    clip) and the whole patch geometry independently; only the
+    splitmix64 seed stream (not portable to SQL) is inlined."""
+    import numpy as np
+
+    from ionex_spark.core import synth
+
+    rows = []
+    for i in range(0, _PATCH_N_IMGS, 2):
+        w, h = synth.SIZES[i % 3], synth.SIZES[(i // 3) % 3]
+        base = synth.splitmix64(np.arange(3) + i * 13) % 200
+        for c in range(3):
+            rows.append(f"({i},{c},{int(base[c])},{w},{h})")
+    return ", ".join(rows)
+
+
+@register(
+    "patch_extract_stats",
+    priority=100,
+    oracle=f"""
+WITH b(i, c, base, w, h) AS (VALUES {_patch_base_values()}),
+px AS (
+  SELECT b.i, y.range AS y, x.range AS x, b.w, b.h,
+         least(greatest(round(CAST(b.base AS DOUBLE)
+           + 40.0 * sin(2*pi()*(CAST(x.range AS DOUBLE)/b.w
+                                + b.c/3.0 + (b.i % 7)/7.0))
+           + 40.0 * cos(2*pi()*(CAST(y.range AS DOUBLE)/b.h
+                                + (b.i % 5)/5.0))), 0.0), 255.0) AS v
+  FROM b JOIN range(64) y ON y.range < b.h
+         JOIN range(64) x ON x.range < b.w
+)
+SELECT printf('img%012d', i) AS image_id,
+       y // {_PATCH_P} AS patch_row,
+       x // {_PATCH_P} AS patch_col,
+       CAST(min(h) // {_PATCH_P} AS BIGINT) AS n_rows,
+       CAST(min(w) // {_PATCH_P} AS BIGINT) AS n_cols,
+       CAST(sum(v) AS BIGINT) AS patch_sum
+FROM px
+WHERE y < (h // {_PATCH_P}) * {_PATCH_P}
+  AND x < (w // {_PATCH_P}) * {_PATCH_P}
+GROUP BY 1, 2, 3
+""",
+)
+def patch_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction END-TO-END through the real codec path
+    (round-5 verdict task #5a): generate lossless ppm payloads, DECODE
+    them, patchify (multimodal.patchify — one numpy reshape/transpose
+    per image, no per-patch loop), and sum each flattened patch.  The
+    oracle re-derives every patch sum arithmetically from the pixel
+    generator formula (DuckDB trig verified bit-equal to numpy on these
+    inputs: 2160/2160 patches) — a broken encode, decode, crop, or
+    patch transpose all surface as driver hash mismatches."""
+    from ionex_spark.operators import multimodal as mm
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, _PATCH_N_IMGS).filter("fmt = 'ppm'")
+    patches = mm.patchify(imgs, patch=_PATCH_P)
+    return patches.selectExpr(
+        "image_id",
+        "cast(patch_row as bigint) as patch_row",
+        "cast(patch_col as bigint) as patch_col",
+        "cast(n_rows as bigint) as n_rows",
+        "cast(n_cols as bigint) as n_cols",
+        "cast(aggregate(patch, cast(0.0 as double),"
+        " (a, x) -> a + cast(x as double)) as bigint) as patch_sum",
+    )
+
+
+@register(
+    "streaming_histogram_batch",
+    priority=100,
+    oracle="""
+SELECT event_type,
+       CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS wslot,
+       CAST(floor(value / CAST(0.25 AS DOUBLE)) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of streaming_histogram_bins (round-5 verdict task
+    #5b): the streaming operator's per-(group, bin) state IS the
+    mergeable batch sketch (streaming/stream.py delegates to
+    sketch.histogram_bins unchanged), so this windowed batch build is
+    exactly what a watermarked run converges to —
+    tests/test_streaming_histogram.py pins stream == batch; this row
+    gives the shared sketch arithmetic (tumbling hour slot x fixed bin)
+    a driver-oracled gate."""
+    from ionex_spark.operators import sketch as sk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type",
+        "cast(floor(unix_timestamp(ts) / 3600) as bigint) as wslot",
+        "value",
+    )
+    return sk.histogram_bins(ev, ["event_type", "wslot"], "value", 0.25)

@@ -354,6 +354,14 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_av.py::test_frame_sampling_feeds_image_pipeline",
         f"{T}/test_av.py::test_rawv_roundtrip",
     ],
+    "patch_extract_stats": [
+        "oracle",  # re-derives every patch sum from the trig formula
+        f"{T}/test_spark_ops.py::test_patchify_reconstructs_and_grid_shape",
+    ],
+    "streaming_histogram_batch": [
+        "oracle",  # hand SQL over standard date/floor functions
+        f"{T}/test_streaming_histogram.py::test_streaming_histogram_matches_batch",
+    ],
     # ---------------- tokens -> training shards (round 6)
     "corpus_mixture_sample": [
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
