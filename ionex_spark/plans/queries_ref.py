@@ -2208,3 +2208,97 @@ def knn_points_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=3, cell_deg=5.0, tag_path=True
     )
     return knn_ops.knn_fallback_metrics(tagged, queries=queries)
+
+
+# ---------------------------------- adaptive-cell knn (round 6 task #6)
+
+@register(
+    "knn_points_adaptive",
+    priority=100,
+    oracle=f"""
+WITH pts AS ({_PTS_SQL}),
+cd AS (
+  SELECT least(sqrt((max(lat) - min(lat)) * (max(lon) - min(lon))
+               * CAST(64.0 AS DOUBLE) / CAST(count(*) AS DOUBLE)),
+               greatest(max(lat) - min(lat), max(lon) - min(lon))) AS v
+  FROM pts
+),
+qm AS (
+  SELECT id AS qid, lat AS q_lat, lon AS q_lon,
+         CAST(floor(lat / cd.v) AS BIGINT) AS qcx,
+         CAST(floor(lon / cd.v) AS BIGINT) AS qcy
+  FROM pts CROSS JOIN cd WHERE id % 97 = 0
+),
+q2 AS (
+  SELECT qm.*,
+         least(q_lat - (qcx - 1) * cd.v,
+               (qcx + 2) * cd.v - q_lat,
+               q_lon - (qcy - 1) * cd.v,
+               (qcy + 2) * cd.v - q_lon) AS margin
+  FROM qm CROSS JOIN cd
+),
+c AS (
+  SELECT id AS cid, lat AS c_lat, lon AS c_lon,
+         CAST(floor(lat / cd.v) AS BIGINT) AS cx,
+         CAST(floor(lon / cd.v) AS BIGINT) AS cy
+  FROM pts CROSS JOIN cd
+),
+scored AS (
+  SELECT q2.qid, q2.margin, c.cid,
+         (q2.q_lat - c.c_lat) * (q2.q_lat - c.c_lat)
+         + (q2.q_lon - c.c_lon) * (q2.q_lon - c.c_lon) AS dist2
+  FROM q2 JOIN c ON c.cx BETWEEN q2.qcx - 1 AND q2.qcx + 1
+                AND c.cy BETWEEN q2.qcy - 1 AND q2.qcy + 1
+  WHERE c.cid != q2.qid
+),
+topk AS (
+  SELECT * FROM (
+    SELECT qid, margin, dist2,
+           row_number() OVER (PARTITION BY qid ORDER BY dist2, cid) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+),
+cert AS (
+  SELECT qid, count(*) AS n_cand, max(dist2) AS kth2, min(margin) AS margin
+  FROM topk GROUP BY qid
+),
+split AS (
+  SELECT q2.qid,
+         CASE WHEN cert.n_cand = 3 AND cert.kth2 < cert.margin * cert.margin
+              THEN 1 ELSE 0 END AS is_exact
+  FROM q2 LEFT JOIN cert ON cert.qid = q2.qid
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(is_exact) AS BIGINT) AS n_exact,
+       CAST(sum(1 - is_exact) AS BIGINT) AS n_fallback,
+       CAST(sum(1 - is_exact) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS fallback_frac,
+       (SELECT v FROM cd) AS cell_deg
+FROM split
+""",
+)
+def knn_points_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_points with DENSITY-DERIVED cell size (round-5 verdict task
+    #6): cell_deg=None triggers derive_cell_deg's count/extent pre-agg
+    (average ~64 corpus points per cell).  The metrics row carries the
+    derived cell_deg itself, and the oracle recomputes it from the SAME
+    IEEE expression over min/max/count in SQL — every operation
+    (differences, products, division, correctly-rounded sqrt) is
+    deterministic binary64, so the derived size and the certificate
+    split must both match bit-for-bit.  The sparse-corpus pytest
+    (test_knn_adaptive_cell_beats_fixed_sparse) pins the behavioral
+    claim: adaptive keeps fallback < 5% where the fixed default
+    degrades past 50%."""
+    from ionex_spark.operators import knn as knn_ops
+    from ionex_spark.plans.queries import event_points
+
+    pts = event_points(spark, sf_dir)
+    corpus = pts.selectExpr("id as cid", "lat", "lon")
+    queries = pts.filter("id % 97 = 0").selectExpr("id as qid", "lat", "lon")
+    cd = knn_ops.derive_cell_deg(corpus)
+    tagged = knn_ops.knn_points(
+        queries, corpus, k=3, cell_deg=cd, tag_path=True
+    )
+    return knn_ops.knn_fallback_metrics(tagged, queries=queries).withColumn(
+        "cell_deg", F.lit(cd)
+    )

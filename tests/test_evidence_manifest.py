@@ -354,6 +354,11 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_av.py::test_frame_sampling_feeds_image_pipeline",
         f"{T}/test_av.py::test_rawv_roundtrip",
     ],
+    "knn_points_adaptive": [
+        "oracle",  # certificate + derived cell size re-derived in SQL
+        f"{T}/test_spark_ops.py::test_knn_adaptive_cell_beats_fixed_sparse",
+        f"{T}/test_spark_ops.py::test_knn_points_exact_both_paths",
+    ],
     "patch_extract_stats": [
         "oracle",  # re-derives every patch sum from the trig formula
         f"{T}/test_spark_ops.py::test_patchify_reconstructs_and_grid_shape",

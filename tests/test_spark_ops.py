@@ -1397,3 +1397,47 @@ def test_knn_fallback_metrics_counts_zero_row_queries(spark):
     # without the queries frame the legacy rows-only denominator applies
     legacy = knn_ops.knn_fallback_metrics(tagged).collect()[0]
     assert legacy.n_queries == 0
+
+
+def test_knn_adaptive_cell_beats_fixed_sparse(spark):
+    """Round-5 verdict task #6: on a sparse Zipfian-clustered corpus the
+    fixed 5-degree default degrades to mostly brute-force fallback;
+    deriving cell_deg from density (cell_deg=None) keeps the fallback
+    fraction under 5% while both paths stay exact (they always are —
+    this pins COST observability, not correctness)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    # 400 points over the full globe: ~80% clustered in a 20x20 deg hot
+    # region (Zipfian-style mass concentration), the rest scattered
+    n = 150
+    hot = rng.rand(n) < 0.7
+    lat = np.where(hot, -40.0 + rng.rand(n) * 100.0,
+                   -85.0 + rng.rand(n) * 170.0)
+    lon = np.where(hot, -60.0 + rng.rand(n) * 120.0,
+                   -175.0 + rng.rand(n) * 350.0)
+    corpus = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(n)],
+        "cid long, lat double, lon double",
+    )
+    queries = spark.createDataFrame(
+        [(1000 + int(i), float(lat[i]), float(lon[i]))
+         for i in range(0, n, 10)],
+        "qid long, lat double, lon double",
+    )
+
+    fixed = knn_ops.knn_points(queries, corpus, k=3, cell_deg=5.0,
+                               tag_path=True)
+    mf = knn_ops.knn_fallback_metrics(fixed, queries=queries).collect()[0]
+    adaptive = knn_ops.knn_points(queries, corpus, k=3, cell_deg=None,
+                                  tag_path=True)
+    ma = knn_ops.knn_fallback_metrics(adaptive, queries=queries).collect()[0]
+
+    assert mf.fallback_frac > 0.5, mf  # the fixed default degrades here
+    assert ma.fallback_frac < 0.05, ma  # adaptive stays on the cell path
+
+    # both exact: identical (qid, rank) -> cid results
+    key = lambda df: sorted(
+        (r.qid, r.rank, r.cid) for r in df.select("qid", "rank", "cid").collect()
+    )
+    assert key(fixed) == key(adaptive)
