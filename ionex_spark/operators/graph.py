@@ -32,6 +32,7 @@ def pagerank_int(
     init_rank: int = 1_000_000,
     damping_ppm: int = 850_000,
     node_col: str = "node",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer power iteration.
 
@@ -56,7 +57,13 @@ def pagerank_int(
     ~1.08e10 nodes at init_rank=1, ~1.08e4 mass units per node at
     1e6 nodes.  Dangling-node mass is dropped, the standard
     simplification for ranking use (total mass decays but the ORDER is
-    what curation consumes).
+    what curation consumes).  ``redistribute_dangling=True`` instead
+    collects the dangling mass each round (one scalar aggregate) and
+    re-adds ``dmass div n_nodes`` to every node's contribution BEFORE
+    damping — textbook PageRank in the same fixed-point integers, so
+    rank VALUES (not just order) are comparable to float references and
+    total mass is conserved up to the integer-division dust (< n_nodes
+    units per round).
 
     Output: (node, rank) after ``n_iter`` rounds."""
     e = (
@@ -86,6 +93,11 @@ def pagerank_int(
         )
 
     base = ((PPM - damping_ppm) * init_rank) // PPM
+    dangling = (
+        nodes.join(deg, node_col, "left_anti").localCheckpoint(eager=True)
+        if redistribute_dangling
+        else None
+    )
     ranks = nodes.selectExpr(
         node_col, f"cast({init_rank} as bigint) as rank"
     ).localCheckpoint(eager=True)
@@ -97,12 +109,24 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        if redistribute_dangling:
+            # one scalar aggregate per round: the dangling share is a
+            # per-node constant, so it rides in the expression instead
+            # of a join (all integer, merge-order-independent)
+            dmass = (
+                ranks.join(dangling, node_col)
+                .agg(F.sum("rank")).collect()[0][0]
+            ) or 0
+            dshare = dmass // n_nodes
+        else:
+            dshare = 0
         ranks = (
             ranks.select(node_col)
             .join(contrib.withColumnRenamed("dst", node_col), node_col, "left")
             .selectExpr(
                 node_col,
-                f"cast({base} + ({damping_ppm} * coalesce(contrib, 0))"
+                f"cast({base} + ({damping_ppm}"
+                f" * (coalesce(contrib, 0) + {dshare}))"
                 f" div {PPM} as bigint) as rank",
             )
         )

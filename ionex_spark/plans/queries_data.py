@@ -2312,3 +2312,70 @@ def streaming_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return sk.histogram_bins(ev, ["event_type", "wslot"], "value", 0.25)
+
+
+@register(
+    "domain_pagerank_dangling",
+    priority=100,
+    oracle=f"""
+WITH RECURSIVE
+nd AS (SELECT DISTINCT doc_id % 500 AS node FROM documents),
+cnt AS (SELECT count(*) AS n FROM nd),
+ed AS (
+  SELECT DISTINCT doc_id % 500 AS src, (doc_id * 7919) % 500 AS dst
+  FROM documents
+  WHERE doc_id % 500 != (doc_id * 7919) % 500
+),
+outdeg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+pr AS (
+  SELECT 0 AS iter, node, CAST({_PR_INIT} AS BIGINT) AS rank FROM nd
+  UNION ALL
+  SELECT p.iter + 1, p.node,
+         CAST({_PR_BASE} + ({_PR_DAMP}
+              * (COALESCE(c.contrib, 0)
+                 + COALESCE(dm.dmass, 0) // (SELECT n FROM cnt)))
+              // 1000000 AS BIGINT)
+  FROM pr p
+  LEFT JOIN (
+     SELECT e.dst AS node, pp.iter,
+            SUM(pp.rank // od.deg) AS contrib
+     FROM pr pp
+     JOIN outdeg od ON od.src = pp.node
+     JOIN ed e ON e.src = pp.node
+     GROUP BY 1, 2
+  ) c ON c.node = p.node AND c.iter = p.iter
+  LEFT JOIN (
+     SELECT pd.iter, SUM(pd.rank) AS dmass
+     FROM pr pd
+     LEFT JOIN outdeg odd ON odd.src = pd.node
+     WHERE odd.src IS NULL
+     GROUP BY 1
+  ) dm ON dm.iter = p.iter
+  WHERE p.iter < {_PR_ITERS}
+)
+SELECT node AS domain, rank FROM pr WHERE iter = {_PR_ITERS}
+""",
+)
+def domain_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTBOOK PageRank variant (round-5 verdict task #7): dangling
+    mass is collected each round (one scalar aggregate) and re-added as
+    ``dmass div n_nodes`` to every node's contribution before damping —
+    still all fixed-point int64, so rank VALUES (not just order) are
+    comparable to float references and the DuckDB recursive CTE extends
+    with a third self-reference computing the same per-iteration
+    dangling sum.  Total mass is conserved up to the integer-division
+    dust (< n_nodes units/round; pinned in the Python-reference
+    fixture)."""
+    from ionex_spark.operators.graph import pagerank_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nodes = docs.selectExpr("doc_id % 500 as node").distinct()
+    edges = docs.selectExpr(
+        "doc_id % 500 as src", "(doc_id * 7919) % 500 as dst"
+    )
+    out = pagerank_int(
+        nodes, edges, n_iter=_PR_ITERS,
+        init_rank=_PR_INIT, damping_ppm=_PR_DAMP,
+        redistribute_dangling=True,
+    )
+    return out.selectExpr("node as domain", "rank")

@@ -354,6 +354,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_av.py::test_frame_sampling_feeds_image_pipeline",
         f"{T}/test_av.py::test_rawv_roundtrip",
     ],
+    "domain_pagerank_dangling": [
+        "oracle",  # independent recursive CTE incl. dangling-mass term
+        f"{T}/test_independent_fixtures.py::test_pagerank_int_dangling_redistribution_python_reference",
+    ],
     "knn_points_adaptive": [
         "oracle",  # certificate + derived cell size re-derived in SQL
         f"{T}/test_spark_ops.py::test_knn_adaptive_cell_beats_fixed_sparse",

@@ -446,3 +446,51 @@ def test_pagerank_int_overflow_guard(spark):
     ok = pagerank_int(nd, ed, n_iter=1,
                       init_rank=(2**63 - 1) // 1_000_000 // 4)
     assert ok.count() == 4
+
+
+def test_pagerank_int_dangling_redistribution_python_reference(spark):
+    """redistribute_dangling=True recomputed in plain Python dicts:
+    dangling mass (nodes 3 has out-edges; 4 isolated and 6 dangling)
+    re-added as dmass // n before damping; mass conserved up to
+    integer-division dust."""
+    from ionex_spark.operators.graph import pagerank_int
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1), (3, 2), (5, 0)]
+    nodes = list(range(7))  # 4 isolated, 6 dangling (5 -> 0 only src)
+    nd = spark.createDataFrame([(n,) for n in nodes], "node bigint")
+    ed = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.node: r.rank
+        for r in pagerank_int(
+            nd, ed, n_iter=4, init_rank=1_000_000,
+            redistribute_dangling=True,
+        ).collect()
+    }
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    r = {x: 1_000_000 for x in nodes}
+    base = (150_000 * 1_000_000) // 1_000_000
+    for _ in range(4):
+        contrib = {x: 0 for x in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        dmass = sum(r[x] for x in nodes if x not in outdeg)
+        dshare = dmass // n
+        r = {
+            x: base + (850_000 * (contrib[x] + dshare)) // 1_000_000
+            for x in nodes
+        }
+    assert got == r
+    # conservation: per round the loss is bounded by damping of the
+    # div dust, far tighter than the dropped-mass default
+    total0 = n * 1_000_000
+    assert total0 - sum(got.values()) < 4 * (n * 1_000_000) // 100
+    # and strictly more mass retained than the dropping default
+    drop = {
+        row.node: row.rank
+        for row in pagerank_int(nd, ed, n_iter=4, init_rank=1_000_000).collect()
+    }
+    assert sum(got.values()) > sum(drop.values())
