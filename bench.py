@@ -226,14 +226,16 @@ def main() -> None:
     # warm the JVM + parquet footers
     spark.range(1000).count()
 
-    def timed(name, fn, warm=False):
-        # warm=True: one untimed materialization first (codegen JIT +
-        # parquet footers + broadcast build), then MEDIAN of n_runs timed
-        # runs with the [min, max] spread reported — BENCH.md documents
-        # 1.5-3x single-shot swings from external VM load; the median is
-        # robust to one polluted run
-        if warm:
-            fn()
+    # loadavg above this defers the query for a second attempt at the
+    # END of the suite: the r5 capture showed a UNIFORMLY slow window
+    # (external loadavg 18 for minutes) sails through the spread-based
+    # retry — 3 consistent slow runs look clean.  Both attempts are
+    # recorded; the lower median is reported (round-5 verdict task #8).
+    high_load = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_RETRY", "8"))
+    deferred: dict[str, object] = {}
+    load_retry_attempts: dict[str, dict] = {}
+
+    def _run_once(name, fn):
         ts = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -248,11 +250,45 @@ def main() -> None:
             fn()
             ts.append(round(time.time() - t0, 3))
             retried.append(name)
+        return ts
+
+    def timed(name, fn, warm=False):
+        # warm=True: one untimed materialization first (codegen JIT +
+        # parquet footers + broadcast build), then MEDIAN of n_runs timed
+        # runs with the [min, max] spread reported — BENCH.md documents
+        # 1.5-3x single-shot swings from external VM load; the median is
+        # robust to one polluted run
+        if warm:
+            fn()
+        ts = _run_once(name, fn)
         timings[name] = statistics.median(ts)
         spreads[name] = [min(ts), max(ts)]
         # 1-minute load average stamped AFTER the runs: attributes a
         # fat spread to box load instead of leaving it a mystery
         loads[name] = round(os.getloadavg()[0], 1)
+        if loads[name] > high_load:
+            deferred[name] = fn
+
+    def retry_deferred():
+        """Second attempt, once, at the end of the suite for every query
+        stamped under high load; keep the LOWER median, record both."""
+        for name, fn in deferred.items():
+            ts = _run_once(name, fn)
+            med = statistics.median(ts)
+            load2 = round(os.getloadavg()[0], 1)
+            load_retry_attempts[name] = {
+                "first": {"median": timings[name],
+                          "spread": spreads[name],
+                          "loadavg": loads[name]},
+                "retry": {"median": med,
+                          "spread": [min(ts), max(ts)],
+                          "loadavg": load2},
+                "chosen": "retry" if med < timings[name] else "first",
+            }
+            if med < timings[name]:
+                timings[name] = med
+                spreads[name] = [min(ts), max(ts)]
+                loads[name] = load2
 
     # per-operator timings FIRST (fresh JVM, stable heap): the 200M-row
     # flagship + image jobs degrade later small-query timings via GC /
@@ -402,6 +438,8 @@ def main() -> None:
         timed("ann_ivf_500k", lambda: sim_ops.ivf_topk(
             lists, qs, cent, k=10, nprobe=2).count())
 
+    retry_deferred()
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     headline = {
         "metric": "spatial_join_tile_assign_headline_sec",
@@ -428,6 +466,7 @@ def main() -> None:
                 "query_spread": spreads,
                 "query_loadavg": loads,
                 "load_retried": retried,
+                "load_retry_attempts": load_retry_attempts,
             },
             fh,
             indent=1,
