@@ -329,6 +329,11 @@ def main() -> None:
             "compacted_snapshot_rollup", "histogram_quantiles_value",
             "url_dedup_canonical", "tile_representative_image",
             "domain_pagerank", "dedup_containment_pairs",
+            # round-6 operators
+            "corpus_mixture_sample", "shard_manifest_rollup",
+            "dedup_containment_capped", "patch_extract_stats",
+            "streaming_histogram_batch", "knn_points_adaptive",
+            "domain_pagerank_dangling",
         ]
     )
     for name in bench_queries:

@@ -173,6 +173,10 @@ def shard_assign(
         r[0]: r[1]
         for r in keyed.groupBy("_bucket").agg(F.count(F.lit(1))).collect()
     }
+    if not bucket_counts:  # empty input: empty CASE would not parse
+        return df.withColumn(
+            "shard_id", F.lit(0).cast("bigint")
+        ).withColumn("shard_pos", F.lit(0).cast("bigint"))
     offsets, acc = {}, 0
     for b in sorted(bucket_counts):
         offsets[b] = acc
@@ -231,3 +235,50 @@ def shard_manifest(
         F.min("shard_pos").alias("min_pos"),
         F.max("shard_pos").alias("max_pos"),
     )
+
+
+def verify_shards(
+    data: DataFrame,
+    manifest: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """Training-loader-side integrity check: recompute each shard's
+    manifest from the data it is about to consume and report every
+    shard where ANY field disagrees with the committed manifest —
+    (shard_id, field, expected, actual) rows, empty = clean.
+
+    Catches truncated/duplicated shard files (n_rows), silent payload
+    edits (content_hash — order-independent, so a reshuffled shard
+    still verifies), and a manifest pointing at the wrong data
+    generation.  One aggregation over the shard being loaded + a
+    broadcast-sized join against the manifest table."""
+    recomputed = shard_manifest(data, id_col, text_col, bytes_col)
+    m = manifest.select(
+        "shard_id",
+        F.col("n_rows").alias("m_rows"),
+        F.col("n_bytes").alias("m_bytes"),
+        F.col("content_hash").alias("m_hash"),
+    )
+    j = recomputed.join(F.broadcast(m), "shard_id", "full_outer")
+    checks = [
+        ("n_rows", "m_rows", "n_rows"),
+        ("n_bytes", "m_bytes", "n_bytes"),
+        ("content_hash", "m_hash", "content_hash"),
+    ]
+    parts = [
+        j.filter(
+            f"{got} IS DISTINCT FROM {want}"
+        ).selectExpr(
+            "shard_id",
+            f"'{field}' as field",
+            f"cast({want} as string) as expected",
+            f"cast({got} as string) as actual",
+        )
+        for got, want, field in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -216,3 +216,43 @@ def test_shard_writer_job_crash_resume(spark, tmp_path):
         for r in sh.shard_manifest(assigned).collect()
     }
     assert got == expect and len(got) == n_shards
+
+
+def test_shard_assign_empty_input(spark):
+    docs = spark.read.parquet(DOCS).filter("doc_id < 0")
+    out = sh.shard_assign(docs, 8)
+    assert out.count() == 0
+    assert "shard_id" in out.columns and "shard_pos" in out.columns
+
+
+def test_verify_shards_detects_planted_corruption(spark):
+    """Clean data verifies empty; a dropped row, an edited payload, and
+    a stale manifest row each surface as typed mismatch rows."""
+    docs = spark.read.parquet(DOCS)
+    assigned = sh.shard_assign(docs, 16).cache()
+    manifest = sh.shard_manifest(assigned, bytes_col="n_chars").cache()
+
+    clean = sh.verify_shards(assigned, manifest, bytes_col="n_chars")
+    assert clean.count() == 0
+
+    # drop one row -> n_rows + n_bytes + content_hash all flagged for
+    # exactly that shard
+    victim = assigned.limit(1).collect()[0]
+    tampered = assigned.filter(f"doc_id != {victim.doc_id}")
+    bad = sh.verify_shards(tampered, manifest, bytes_col="n_chars").collect()
+    assert {r.shard_id for r in bad} == {victim.shard_id}
+    assert {r.field for r in bad} == {"n_rows", "n_bytes", "content_hash"}
+
+    # edit one payload (same length) -> ONLY content_hash flags
+    import pyspark.sql.functions as F
+    edited = assigned.withColumn(
+        "text",
+        F.expr(
+            f"case when doc_id = {victim.doc_id}"
+            " then concat('X', substr(text, 2)) else text end"
+        ),
+    )
+    bad2 = sh.verify_shards(edited, manifest, bytes_col="n_chars").collect()
+    assert [(r.shard_id, r.field) for r in bad2] == [
+        (victim.shard_id, "content_hash")
+    ]
