@@ -204,6 +204,71 @@ def shard_assign(
     )
 
 
+def shard_assign_bytes(
+    df: DataFrame,
+    target_bytes: int,
+    bytes_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BYTE-budget twin of shard_assign: greedy sequential fill of
+    ~``target_bytes`` per shard in the same deterministic global order
+    (order_hash, id) — a document lands wholly in the shard where its
+    first byte falls, so shards overshoot by at most one document (the
+    standard training-shard layout; documents are never split).
+
+    Same no-global-sort shape: per-bucket BYTE subtotals (tiny agg to
+    the driver) give exact global byte offsets; a windowed running sum
+    inside each bucket completes the global cumulative, and
+    shard_id = cum_bytes_exclusive div target.  shard_pos is the row's
+    rank within its shard (second window, partitioned by the computed
+    shard — bounded partitions by construction)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    span = (1 << ORDER_BITS) // n_buckets + 1
+    keyed = df.withColumn(
+        "_oh", F.expr(order_hash_sql(id_col))
+    ).withColumn("_bucket", F.expr(f"_oh div {span}"))
+    totals = {
+        r[0]: (r[1], r[2])
+        for r in keyed.groupBy("_bucket").agg(
+            F.expr(f"cast(sum({bytes_col}) as bigint)"),
+            F.count(F.lit(1)),
+        ).collect()
+    }
+    if not totals:
+        return df.withColumn(
+            "shard_id", F.lit(0).cast("bigint")
+        ).withColumn("shard_pos", F.lit(0).cast("bigint"))
+    offsets, acc = {}, 0
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b][0]
+    off_case = " ".join(
+        f"WHEN _bucket = {b} THEN {o}" for b, o in offsets.items()
+    )
+    w = Window.partitionBy("_bucket").orderBy("_oh", id_col)
+    cum = (
+        keyed.repartition(max(1, len(totals)), "_bucket")
+        .withColumn("_cb", F.sum(bytes_col).over(w))
+        .withColumn(
+            "_gexcl",
+            F.expr(
+                f"(CASE {off_case} ELSE 0 END) + _cb - {bytes_col}"
+            ),
+        )
+        .withColumn("shard_id", F.expr(f"_gexcl div {target_bytes}"))
+    )
+    wp = Window.partitionBy("shard_id").orderBy("_oh", id_col)
+    return (
+        cum.withColumn(
+            "shard_pos",
+            (F.row_number().over(wp) - F.lit(1)).cast("bigint"),
+        )
+        .drop("_oh", "_bucket", "_cb", "_gexcl")
+    )
+
+
 def shard_manifest(
     assigned: DataFrame,
     id_col: str = "doc_id",
@@ -227,10 +292,15 @@ def shard_manifest(
     return assigned.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(nb).alias("n_bytes"),
+        # the 48-bit row hash sums exactly in int64 up to 32768 rows;
+        # fail loudly past the bound (bytes-mode shards have no static
+        # row cap) instead of wrapping into a silently-wrong checksum
         F.expr(
-            "cast(sum("
+            "if(count(1) <= 32768, cast(sum("
             + row_content_hash_sql(id_col, text_col)
-            + ") as bigint)"
+            + ") as bigint), cast(raise_error('shard exceeds 32768 rows:"
+            " 48-bit checksum sum would overflow int64 — split shards or"
+            " widen row_content_hash_sql to a modular sum') as bigint))"
         ).alias("content_hash"),
         F.min("shard_pos").alias("min_pos"),
         F.max("shard_pos").alias("max_pos"),

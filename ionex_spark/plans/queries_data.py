@@ -2379,3 +2379,47 @@ def domain_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         redistribute_dangling=True,
     )
     return out.selectExpr("node as domain", "rank")
+
+
+_SHARD_BYTES_TARGET = 4096
+
+
+@register(
+    "shard_bytes_manifest",
+    priority=100,
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, text, n_chars,
+         sum(n_chars) OVER (
+           ORDER BY {_sh.order_hash_sql('doc_id', 'duckdb')}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chars AS cum_excl
+  FROM documents
+),
+a AS (
+  SELECT doc_id, text, n_chars,
+         CAST(cum_excl // {_SHARD_BYTES_TARGET} AS BIGINT) AS shard_id
+  FROM ranked
+)
+SELECT shard_id,
+       count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       CAST(sum({_sh.row_content_hash_sql('doc_id', 'text', 'duckdb')}) AS BIGINT) AS content_hash
+FROM a GROUP BY 1
+""",
+)
+def shard_bytes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-budget training shards (the 'target rows OR bytes' second
+    half of round-5 verdict task #3b): greedy sequential fill of
+    ~{target} bytes per shard in the deterministic (order-hash, id)
+    order, docs never split, realized WITHOUT a global sort (per-bucket
+    byte subtotals -> exact global running sum).  The oracle replays
+    the same greedy fill with one global window — different plan shape,
+    bit-identical manifests.""".replace(
+        "{target}", str(_SHARD_BYTES_TARGET)
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = _sh.shard_assign_bytes(docs, _SHARD_BYTES_TARGET)
+    return _sh.shard_manifest(assigned, bytes_col="n_chars").select(
+        "shard_id", "n_rows", "n_bytes", "content_hash"
+    )

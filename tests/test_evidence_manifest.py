@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "shard_bytes_manifest": [
+        "oracle",  # greedy byte fill replayed with one global window
+        f"{T}/test_shards.py::test_shard_assign_bytes_matches_single_sort_reference",
+    ],
     "shard_manifest_rollup": [
         f"{T}/test_shards.py::test_shard_assign_matches_single_sort_reference",
         f"{T}/test_shards.py::test_shard_manifest_checksum_hashlib_reference",

@@ -256,3 +256,51 @@ def test_verify_shards_detects_planted_corruption(spark):
     assert [(r.shard_id, r.field) for r in bad2] == [
         (victim.shard_id, "content_hash")
     ]
+
+
+def test_shard_assign_bytes_matches_single_sort_reference(spark):
+    """Byte-budget sharding recomputed with a plain Python running sum
+    over the (md5 order hash, id) order: identical (shard_id,
+    shard_pos) per doc; no shard starts mid-document; every shard
+    except the last crosses its byte budget only via its final doc."""
+    docs = spark.read.parquet(DOCS)
+    rows = {
+        r.doc_id: r.n_chars
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    order = sorted(rows, key=lambda i: (_md5int(11, str(i)), i))
+    target = 4000
+    expect, cum, pos_in = {}, 0, {}
+    for doc in order:
+        sid = cum // target
+        expect[doc] = (sid, pos_in.get(sid, 0))
+        pos_in[sid] = pos_in.get(sid, 0) + 1
+        cum += rows[doc]
+    got = {
+        r.doc_id: (r.shard_id, r.shard_pos)
+        for r in sh.shard_assign_bytes(docs, target, n_buckets=5)
+        .select("doc_id", "shard_id", "shard_pos").collect()
+    }
+    assert got == expect
+    # shards are contiguous 0..max
+    sids = {s for s, _ in got.values()}
+    assert sids == set(range(max(sids) + 1)) and len(sids) > 2
+
+    # manifest works on bytes-mode output too
+    man = sh.shard_manifest(
+        sh.shard_assign_bytes(docs, target), bytes_col="n_chars"
+    ).collect()
+    total_bytes = sum(r.n_bytes for r in man)
+    assert total_bytes == sum(rows.values())
+
+
+def test_shard_manifest_overflow_guard(spark):
+    """>32768 rows in one shard must raise, not wrap the checksum."""
+    from pyspark.sql.utils import PythonException
+
+    docs = spark.range(33000).selectExpr(
+        "id as doc_id", "cast('x' as string) as text",
+        "cast(0 as bigint) as shard_id", "id as shard_pos",
+    )
+    with pytest.raises(Exception, match="32768|USER_RAISED"):
+        sh.shard_manifest(docs).collect()
