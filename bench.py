@@ -332,7 +332,7 @@ def main() -> None:
             # round-6 operators
             "corpus_mixture_sample", "shard_manifest_rollup",
             "dedup_containment_capped", "patch_extract_stats",
-            "shard_bytes_manifest",
+            "shard_bytes_manifest", "dedup_group_representatives",
             "streaming_histogram_batch", "knn_points_adaptive",
             "domain_pagerank_dangling",
         ]

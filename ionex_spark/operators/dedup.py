@@ -834,3 +834,48 @@ def containment_pairs(
     return out.filter(
         f"containment_ab >= {thr} or containment_ba >= {thr}"
     )
+
+
+# -------------------------------------------- group representative pick
+
+REP_PACK_BITS = 41  # doc ids < 2^41; score_fp * 2^41 stays inside int64
+
+
+def group_representatives(
+    members: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    score_col: str = "score_fp",
+) -> DataFrame:
+    """Pick ONE document to keep per near-dup group — the step a real
+    pipeline runs right after connected components: instead of the
+    arbitrary min-id keeper, keep the BEST-quality member (ties broken
+    by smallest id, so the choice is total and deterministic).
+
+    members: (id, group) from connected_components; scored: (id,
+    score_fp) with an int64 fixed-point score (e.g. floor(quality*1e6)
+    — integers so cross-engine comparison is exact).  The argmax rides
+    the tile_representative trick: pack (score_fp, 2^41-1-id) into ONE
+    bigint, take MAX — a map-side-combining aggregation, no window
+    sort, one shuffle of (group, packed) pairs.  score_fp must be
+    non-negative and < 2^22 to keep the pack inside int64.
+
+    Output: (group_id, n_members, rep_id, rep_score_fp)."""
+    m = 1 << REP_PACK_BITS
+    j = members.join(scored, id_col)
+    packed = j.selectExpr(
+        f"{group_col} as group_id",
+        f"{score_col} * cast({m} as bigint)"
+        f" + (cast({m} as bigint) - 1 - {id_col}) as _packed",
+    )
+    agg = packed.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("_packed").alias("_pm"),
+    )
+    return agg.selectExpr(
+        "group_id",
+        "n_members",
+        f"cast({m} as bigint) - 1 - (_pm % cast({m} as bigint)) as rep_id",
+        f"_pm div cast({m} as bigint) as rep_score_fp",
+    )

@@ -2423,3 +2423,60 @@ def shard_bytes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sh.shard_manifest(assigned, bytes_col="n_chars").select(
         "shard_id", "n_rows", "n_bytes", "content_hash"
     )
+
+
+_REP_M = 1 << 41  # dedup.REP_PACK_BITS
+
+
+@register(
+    "dedup_group_representatives",
+    priority=100,
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+r(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node
+),
+members AS (SELECT src AS doc_id, min(node) AS group_id FROM r GROUP BY src),
+scored AS (
+  SELECT doc_id,
+         CAST(floor({tx.quality_score_sql('text')}
+              * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_fp
+  FROM documents
+),
+packed AS (
+  SELECT m.group_id,
+         s.score_fp * CAST({_REP_M} AS BIGINT)
+           + (CAST({_REP_M} AS BIGINT) - 1 - m.doc_id) AS p
+  FROM members m JOIN scored s ON s.doc_id = m.doc_id
+)
+SELECT group_id,
+       count(*) AS n_members,
+       CAST({_REP_M} AS BIGINT) - 1 - (max(p) % CAST({_REP_M} AS BIGINT))
+         AS rep_id,
+       max(p) // CAST({_REP_M} AS BIGINT) AS rep_score_fp
+FROM packed GROUP BY 1
+""",
+)
+def dedup_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup keeper selection — the step after connected
+    components a real pipeline runs: per near-dup group keep the
+    highest-quality member (fixed-point quality, ties to the smallest
+    id) instead of the arbitrary min-id.  The argmax is the packed-
+    bigint trick (one map-side-combining shuffle, no window sort —
+    dedup.group_representatives); the oracle recomputes the transitive
+    closure AND the packed argmax in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    members = dd.connected_components(docs.select("doc_id"), pairs)
+    scored = docs.selectExpr(
+        "doc_id",
+        f"cast(floor({tx.quality_score_sql('text')}"
+        " * cast(1000000.0 as double)) as bigint) as score_fp",
+    )
+    return dd.group_representatives(members, scored)

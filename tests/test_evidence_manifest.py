@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "dedup_group_representatives": [
+        "oracle",  # transitive closure + packed argmax re-done in SQL
+        f"{T}/test_spark_ops.py::test_group_representatives_planted_quality_and_ties",
+    ],
     "shard_bytes_manifest": [
         "oracle",  # greedy byte fill replayed with one global window
         f"{T}/test_shards.py::test_shard_assign_bytes_matches_single_sort_reference",

@@ -30,6 +30,7 @@ NEW_THIS_ROUND = {
     "corpus_mixture_sample",
     "shard_manifest_rollup",
     "shard_bytes_manifest",
+    "dedup_group_representatives",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",

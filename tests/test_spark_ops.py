@@ -1441,3 +1441,29 @@ def test_knn_adaptive_cell_beats_fixed_sparse(spark):
         (r.qid, r.rank, r.cid) for r in df.select("qid", "rank", "cid").collect()
     )
     assert key(fixed) == key(adaptive)
+
+
+def test_group_representatives_planted_quality_and_ties(spark):
+    """Hand-planted groups: highest score wins; exact ties keep the
+    smallest id; singleton groups keep themselves."""
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),   # group 1
+         (10, 10), (11, 10),       # group 10: tie
+         (20, 20)],                # singleton
+        "doc_id long, group_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 5), (2, 900), (3, 900 - 1),
+         (10, 7), (11, 7),
+         (20, 0)],
+        "doc_id long, score_fp long",
+    )
+    got = {
+        r.group_id: (r.rep_id, r.rep_score_fp, r.n_members)
+        for r in dd.group_representatives(members, scored).collect()
+    }
+    assert got == {
+        1: (2, 900, 3),    # max score
+        10: (10, 7, 2),    # tie -> min id
+        20: (20, 0, 1),
+    }
