@@ -879,3 +879,64 @@ def group_representatives(
         f"cast({m} as bigint) - 1 - (_pm % cast({m} as bigint)) as rep_id",
         f"_pm div cast({m} as bigint) as rep_score_fp",
     )
+
+
+# ---------------------------------------- incremental (cross-epoch) dedup
+
+def incremental_dedup(
+    increment: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 5,
+    backend: str = "md5",
+) -> DataFrame:
+    """NEW-CRAWL increment vs an EXISTING corpus — the cross-epoch exact
+    dedup an ingestion pipeline runs on every increment: a Bloom filter
+    over the corpus's content hashes (constant-size, mergeable,
+    broadcastable) prefilters the increment; only bloom-positive
+    candidates pay the exact verify join.
+
+    At 100 TB the difference is the whole point: the naive anti-join
+    shuffles |increment| x |corpus| key traffic; here the corpus is
+    scanned ONCE into an m-bit bitmap (built incrementally / merged
+    across corpus partitions via bit_or), the increment probes it with
+    zero shuffle (broadcast filter table), and the exact join's left
+    side shrinks to |true dups| + |false positives| (~ m,k-bounded).
+    Zero false negatives by Bloom construction, so `is_dup` is EXACT.
+
+    Output: one row per increment doc — (id, bloom_candidate, is_dup);
+    is_dup = 1 implies bloom_candidate = 1; survivors are
+    `is_dup = 0`."""
+    from ionex_spark.operators.sketch import bloom_build, bloom_membership
+
+    chash = f"md5({text_col})"
+    corpus_hashes = corpus.selectExpr(f"{chash} as chash").dropDuplicates(
+        ["chash"]
+    )
+    bloom = bloom_build(corpus_hashes, "chash", m_bits, k, backend)
+    probes = increment.selectExpr(
+        f"{id_col} as probe_id", f"{chash} as chash"
+    )
+    member = bloom_membership(
+        probes, bloom, "chash", m_bits, k, backend, id_col="probe_id"
+    )
+    # NO broadcast hint on the verify join: at 100 TB the corpus-hash
+    # side is the big one — it shuffles on chash once while the
+    # candidate side is already bloom-shrunk; AQE may still broadcast
+    # at small scale on its own
+    cand = probes.join(member, "probe_id").filter("maybe_present = 1")
+    dups = cand.join(corpus_hashes, "chash", "left_semi").selectExpr(
+        "probe_id", "1 as _dup"
+    )
+    return (
+        probes.select("probe_id")
+        .join(member, "probe_id")
+        .join(dups, "probe_id", "left")
+        .selectExpr(
+            f"probe_id as {id_col}",
+            "maybe_present as bloom_candidate",
+            "coalesce(_dup, 0) as is_dup",
+        )
+    )

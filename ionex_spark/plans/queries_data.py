@@ -2480,3 +2480,83 @@ def dedup_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * cast(1000000.0 as double)) as bigint) as score_fp",
     )
     return dd.group_representatives(members, scored)
+
+
+# ------------------------------------ incremental (cross-epoch) dedup
+
+def _duck_incremental_bloom(m_bits: int = 4096, k: int = 5) -> str:
+    """Oracle: rebuild the corpus-hash bloom bitmap AND the per-probe
+    k-bit membership test in DuckDB, plus the exact semi-join truth."""
+    from ionex_spark.operators.sketch import BLOOM_SEED
+
+    pos = ", ".join(
+        f"({dd.token_hash_duckdb_sql('chash', BLOOM_SEED + j)} % {m_bits})"
+        for j in range(k)
+    )
+    return f"""
+WITH corpus AS (SELECT DISTINCT md5(text) AS chash FROM documents),
+inc AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, concat(text, ' zzz') FROM documents
+  WHERE doc_id % 7 = 1
+),
+words AS (
+  SELECT CAST(floor(bitpos / 64) AS BIGINT) AS word_idx,
+         bit_or(CASE WHEN bitpos % 64 = 63 THEN -9223372036854775808
+                     ELSE CAST(1 AS BIGINT) << CAST(bitpos % 64 AS INT)
+                END) AS word
+  FROM (SELECT unnest([{pos}]) AS bitpos FROM corpus) GROUP BY 1
+),
+probes AS (SELECT doc_id, md5(text) AS chash FROM inc),
+pbits AS (
+  SELECT doc_id, chash, unnest([{pos}]) AS bitpos FROM probes
+),
+tested AS (
+  SELECT p.doc_id, p.chash,
+         CASE WHEN w.word IS NOT NULL AND
+              (w.word & (CASE WHEN p.bitpos % 64 = 63
+                              THEN -9223372036854775808
+                              ELSE CAST(1 AS BIGINT)
+                                   << CAST(p.bitpos % 64 AS INT) END))
+              != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pbits p
+  LEFT JOIN words w ON w.word_idx = CAST(floor(p.bitpos / 64) AS BIGINT)
+),
+member AS (
+  SELECT doc_id, chash,
+         CAST(sum(hit) = {k} AS INT) AS bloom_candidate
+  FROM tested GROUP BY 1, 2
+)
+SELECT m.doc_id,
+       m.bloom_candidate,
+       CASE WHEN c.chash IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+FROM member m LEFT JOIN corpus c ON c.chash = m.chash
+"""
+
+
+@register(
+    "incremental_dedup_bloom",
+    priority=100,
+    oracle=_duck_incremental_bloom(),
+)
+def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-EPOCH exact dedup: a new-crawl increment (re-keyed copies
+    of every 5th corpus doc = planted true dups, plus mutated copies of
+    every 7th = planted new docs) probes a Bloom filter built over the
+    existing corpus's content hashes; only bloom positives pay the
+    exact verify join (dedup.incremental_dedup).  The oracle rebuilds
+    the SAME m=4096/k=5 bitmap and the per-probe k-bit test in DuckDB
+    — bloom_candidate (including any false positives, which are part
+    of the deterministic md5 construction) AND the exact is_dup truth
+    must both match bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = docs.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 100000 as doc_id", "text"
+    ).unionByName(
+        docs.filter("doc_id % 7 = 1").selectExpr(
+            "doc_id + 200000 as doc_id", "concat(text, ' zzz') as text"
+        )
+    )
+    return dd.incremental_dedup(inc, docs)

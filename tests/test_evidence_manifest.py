@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "incremental_dedup_bloom": [
+        "oracle",  # bitmap + k-bit probe + exact truth re-done in SQL
+        f"{T}/test_spark_ops.py::test_incremental_dedup_no_false_negatives_and_prefilter",
+    ],
     "dedup_group_representatives": [
         "oracle",  # transitive closure + packed argmax re-done in SQL
         f"{T}/test_spark_ops.py::test_group_representatives_planted_quality_and_ties",

@@ -31,6 +31,7 @@ NEW_THIS_ROUND = {
     "shard_manifest_rollup",
     "shard_bytes_manifest",
     "dedup_group_representatives",
+    "incremental_dedup_bloom",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",

@@ -1467,3 +1467,33 @@ def test_group_representatives_planted_quality_and_ties(spark):
         10: (10, 7, 2),    # tie -> min id
         20: (20, 0, 1),
     }
+
+
+def test_incremental_dedup_no_false_negatives_and_prefilter(spark):
+    """Cross-epoch bloom dedup: every planted true dup is flagged
+    (bloom has NO false negatives, and the verify join is exact);
+    planted new docs are never flagged dup; any bloom false positive is
+    a candidate that the exact join then rejects."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dup_ids = {r.doc_id + 100000 for r in docs.filter("doc_id % 5 = 0")
+               .select("doc_id").collect()}
+    new_ids = {r.doc_id + 200000 for r in docs.filter("doc_id % 7 = 1")
+               .select("doc_id").collect()}
+    inc = docs.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 100000 as doc_id", "text"
+    ).unionByName(
+        docs.filter("doc_id % 7 = 1").selectExpr(
+            "doc_id + 200000 as doc_id", "concat(text, ' zzz') as text"
+        )
+    )
+    out = {r.doc_id: (r.bloom_candidate, r.is_dup)
+           for r in dd.incremental_dedup(inc, docs).collect()}
+    assert set(out) == dup_ids | new_ids
+    for i in dup_ids:  # true dups: candidate AND dup
+        assert out[i] == (1, 1)
+    for i in new_ids:  # new docs: never dup; candidate only if bloom FP
+        cand, isdup = out[i]
+        assert isdup == 0
+        assert cand in (0, 1)
+    # is_dup implies bloom_candidate (the prefilter is a superset)
+    assert all(c >= d for c, d in out.values())
