@@ -35,10 +35,23 @@ HASH_GATE = 10_000  # sampling-hash domain, shared with text.sample_hash_sql
 ORDER_BITS = 60
 
 
-def order_hash_sql(id_expr: str, dialect: str = "spark") -> str:
-    """Deterministic 60-bit order key for shard assignment — the same
-    portable md5 kernel as sampling, under its own seed so shard order
-    is independent of sampling decisions."""
+def order_hash_sql(
+    id_expr: str, dialect: str = "spark", backend: str = "md5"
+) -> str:
+    """Deterministic non-negative order key for shard assignment — the
+    portable md5 kernel by default (DuckDB-reproducible, gate path),
+    under its own seed so shard order is independent of sampling
+    decisions.  backend='xxhash64' is the production fast path (JVM
+    codegen, no hex round-trip — 20M-row probe: md5 order keys
+    dominated shard_assign's wall time); masked to 60 bits so bucket
+    spans match the md5 domain."""
+    if backend == "xxhash64":
+        if dialect != "spark":
+            raise ValueError("xxhash64 backend has no DuckDB twin")
+        return (
+            f"(xxhash64(cast({id_expr} as string), 11)"
+            f" & {(1 << ORDER_BITS) - 1})"
+        )
     if dialect == "spark":
         return dd.token_hash_sql(f"cast({id_expr} as string)", 11)
     return dd.token_hash_duckdb_sql(f"CAST({id_expr} AS VARCHAR)", 11)
@@ -143,6 +156,7 @@ def shard_assign(
     target_rows: int,
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    backend: str = "md5",
 ) -> DataFrame:
     """Assign every row a deterministic (shard_id, shard_pos) so shards
     have exactly ``target_rows`` rows (last shard ragged).
@@ -167,7 +181,7 @@ def shard_assign(
         )
     span = (1 << ORDER_BITS) // n_buckets + 1
     keyed = df.withColumn(
-        "_oh", F.expr(order_hash_sql(id_col))
+        "_oh", F.expr(order_hash_sql(id_col, backend=backend))
     ).withColumn("_bucket", F.expr(f"_oh div {span}"))
     bucket_counts = {
         r[0]: r[1]
@@ -210,6 +224,7 @@ def shard_assign_bytes(
     bytes_col: str = "n_chars",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    backend: str = "md5",
 ) -> DataFrame:
     """BYTE-budget twin of shard_assign: greedy sequential fill of
     ~``target_bytes`` per shard in the same deterministic global order
@@ -227,7 +242,7 @@ def shard_assign_bytes(
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     span = (1 << ORDER_BITS) // n_buckets + 1
     keyed = df.withColumn(
-        "_oh", F.expr(order_hash_sql(id_col))
+        "_oh", F.expr(order_hash_sql(id_col, backend=backend))
     ).withColumn("_bucket", F.expr(f"_oh div {span}"))
     totals = {
         r[0]: (r[1], r[2])

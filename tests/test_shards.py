@@ -304,3 +304,27 @@ def test_shard_manifest_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="32768|USER_RAISED"):
         sh.shard_manifest(docs).collect()
+
+
+def test_shard_assign_xxhash_backend_exact_sizes_and_deterministic(spark):
+    """The production xxhash64 order key (no DuckDB twin, JVM codegen)
+    still yields exactly-sized, deterministic shards."""
+    docs = spark.read.parquet(DOCS)
+    a1 = {
+        r.doc_id: (r.shard_id, r.shard_pos)
+        for r in sh.shard_assign(docs, 7, backend="xxhash64")
+        .select("doc_id", "shard_id", "shard_pos").collect()
+    }
+    a2 = {
+        r.doc_id: (r.shard_id, r.shard_pos)
+        for r in sh.shard_assign(docs, 7, n_buckets=13, backend="xxhash64")
+        .select("doc_id", "shard_id", "shard_pos").collect()
+    }
+    assert a1 == a2  # bucket count never changes the assignment
+    sizes = {}
+    for s, _ in a1.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    for s in range(max(sizes)):
+        assert sizes[s] == 7
+    with pytest.raises(ValueError, match="DuckDB"):
+        sh.order_hash_sql("doc_id", dialect="duckdb", backend="xxhash64")
