@@ -333,7 +333,7 @@ def main() -> None:
             "corpus_mixture_sample", "shard_manifest_rollup",
             "dedup_containment_capped", "patch_extract_stats",
             "shard_bytes_manifest", "dedup_group_representatives",
-            "incremental_dedup_bloom",
+            "incremental_dedup_bloom", "mixture_quality_curriculum",
             "streaming_histogram_batch", "knn_points_adaptive",
             "domain_pagerank_dangling",
         ]

@@ -2560,3 +2560,67 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dd.incremental_dedup(inc, docs)
+
+
+# ------------------------------- curriculum (quality-binned) mixture
+
+_CURR_WEIGHTS = {
+    "en/hi": 400_000, "en/lo": 100_000,
+    "zh/hi": 200_000, "zh/lo": 50_000,
+    "de/hi": 150_000, "de/lo": 50_000,
+    "fr/hi": 50_000,
+}
+_CURR_STRATUM = (
+    "lang || '/' || (CASE WHEN {q} >= CAST(0.5 AS DOUBLE)"
+    " THEN 'hi' ELSE 'lo' END)"
+)
+_CURR_W_VALUES = ", ".join(
+    f"('{d}', CAST({w} AS BIGINT))" for d, w in _CURR_WEIGHTS.items()
+)
+
+
+@register(
+    "mixture_quality_curriculum",
+    priority=100,
+    oracle=f"""
+WITH strat AS (
+  SELECT doc_id, lang, n_chars,
+         {_CURR_STRATUM.format(q=tx.quality_score_sql('text'))} AS stratum
+  FROM documents
+),
+counts AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM strat GROUP BY 1
+),
+w(stratum, ppm) AS (VALUES {_CURR_W_VALUES}),
+cm AS (
+  SELECT min(n * CAST(1000000 AS BIGINT) // ppm) AS c
+  FROM counts JOIN w USING (stratum)
+),
+thr AS (
+  SELECT counts.stratum,
+         (CAST(10000 AS BIGINT) * cm.c * w.ppm)
+           // (CAST(1000000 AS BIGINT) * counts.n) AS t
+  FROM counts JOIN w USING (stratum) CROSS JOIN cm
+)
+SELECT d.doc_id, d.stratum, d.lang, d.n_chars
+FROM strat d JOIN thr ON thr.stratum = d.stratum
+WHERE {tx.sample_hash_sql('d.doc_id', 'duckdb')} < thr.t
+""",
+)
+def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL curriculum mixture — the composition a pretraining mix
+    actually specifies: target shares over (language x quality bin),
+    up-weighting high-quality strata (en/hi 40%, zh/hi 20%, ...).  The
+    stratum is a DERIVED column (quality heuristic binned at 0.5), so
+    this exercises corpus_mixture_sample over computed strata; the
+    oracle re-derives stratum, counts, integer thresholds, and hash
+    gate in SQL end-to-end."""
+    from ionex_spark.operators import shards as sh_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    strat = docs.withColumn(
+        "stratum",
+        F.expr(_CURR_STRATUM.format(q=tx.quality_score_sql("text"))),
+    )
+    out = sh_ops.corpus_mixture_sample(strat, "stratum", _CURR_WEIGHTS)
+    return out.select("doc_id", "stratum", "lang", "n_chars")

@@ -376,6 +376,11 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "mixture_quality_curriculum": [
+        "oracle",  # stratum derivation + thresholds + gate all in SQL
+        f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
+        f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
+    ],
     "incremental_dedup_bloom": [
         "oracle",  # bitmap + k-bit probe + exact truth re-done in SQL
         f"{T}/test_spark_ops.py::test_incremental_dedup_no_false_negatives_and_prefilter",

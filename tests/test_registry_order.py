@@ -32,6 +32,7 @@ NEW_THIS_ROUND = {
     "shard_bytes_manifest",
     "dedup_group_representatives",
     "incremental_dedup_bloom",
+    "mixture_quality_curriculum",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",
