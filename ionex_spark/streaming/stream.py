@@ -366,3 +366,80 @@ def streaming_histogram_bins(
     from ionex_spark.operators import sketch as sk
 
     return sk.histogram_bins(stream, group_cols, value_col, bin_width)
+
+
+# --------------------------------------- streaming incremental dedup
+
+def streaming_incremental_dedup(
+    increment: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 5,
+    backend: str = "md5",
+) -> DataFrame:
+    """STREAMING twin of dedup.incremental_dedup: a live crawl stream
+    probes the static corpus's Bloom filter, and only bloom-positive
+    rows pay the exact stream-static verify join against the corpus
+    hashes.
+
+    COMPLETELY STATELESS per micro-batch: the m/64-word filter is
+    materialized once at query start and inlined as a literal CASE
+    (streams re-plan per batch, so a driver-side literal is the
+    broadcast-variable shape), and the k bit tests are k inline
+    conjuncts in ONE projection — no explode, no aggregation, no
+    watermark needed, append-mode safe.  The verify join is
+    stream-static (the corpus is static within the query; restart to
+    pick up a corpus snapshot advance, like the other stream-static
+    joins here).  Output schema matches the batch operator:
+    (id, bloom_candidate, is_dup) — is_dup exact, no false negatives."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.operators.sketch import bloom_build, bloom_probe_sql
+
+    chash = f"md5({text_col})"
+    corpus_hashes = corpus.selectExpr(f"{chash} as chash").dropDuplicates(
+        ["chash"]
+    )
+    bloom = {
+        r.word_idx: r.word
+        for r in bloom_build(
+            corpus_hashes, "chash", m_bits, k, backend
+        ).collect()
+    }
+
+    def word_of(idx_expr: str) -> str:
+        return ("CASE " + " ".join(
+            f"WHEN ({idx_expr}) = {wi} THEN CAST({w} AS BIGINT)"
+            for wi, w in bloom.items()
+        ) + " ELSE CAST(0 AS BIGINT) END")
+
+    conjuncts = []
+    for p in bloom_probe_sql("chash", m_bits, k, backend):
+        # p is `struct(<idx> as word_idx, <mask> as mask)` — reuse its
+        # fields positionally so the bit test stays a plain expression
+        conjuncts.append(
+            f"((({word_of(f'({p}).word_idx')}) & ({p}).mask)"
+            f" = ({p}).mask)"
+        )
+    probes = increment.selectExpr(
+        f"{id_col} as probe_id", f"{chash} as chash"
+    ).selectExpr(
+        "probe_id", "chash",
+        f"cast({' and '.join(conjuncts)} as int) as bloom_candidate",
+    )
+    verified = probes.filter("bloom_candidate = 1").join(
+        corpus_hashes.withColumn("_dup", F.lit(1)), "chash", "left"
+    )
+    return (
+        probes.filter("bloom_candidate = 0")
+        .selectExpr("probe_id", "bloom_candidate", "0 as is_dup")
+        .unionByName(
+            verified.selectExpr(
+                "probe_id", "bloom_candidate",
+                "coalesce(_dup, 0) as is_dup",
+            )
+        )
+        .withColumnRenamed("probe_id", id_col)
+    )
