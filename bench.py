@@ -334,6 +334,7 @@ def main() -> None:
             "dedup_containment_capped", "patch_extract_stats",
             "shard_bytes_manifest", "dedup_group_representatives",
             "incremental_dedup_bloom", "mixture_quality_curriculum",
+            "patch_pack_sequences",
             "streaming_histogram_batch", "knn_points_adaptive",
             "domain_pagerank_dangling",
         ]

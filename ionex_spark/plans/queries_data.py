@@ -2624,3 +2624,62 @@ def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sh_ops.corpus_mixture_sample(strat, "stratum", _CURR_WEIGHTS)
     return out.select("doc_id", "stratum", "lang", "n_chars")
+
+
+@register(
+    "patch_pack_sequences",
+    priority=100,
+    oracle=f"""
+WITH imgs AS (
+  SELECT printf('img%012d', g.range) AS image_id,
+         CAST(((CASE (g.range // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+                ELSE 64 END) // 8)
+            * ((CASE g.range % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+                ELSE 64 END) // 8) AS BIGINT) AS n_patches
+  FROM range(200) g WHERE g.range % 2 = 0
+),
+t AS (
+  SELECT image_id,
+         ({tx.sample_hash_sql('image_id', 'duckdb')}) % 4 AS shard,
+         n_patches AS n_tokens
+  FROM imgs
+),
+c AS (
+  SELECT image_id, shard, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY image_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT image_id, shard, cum_before // 256 AS seq_id,
+       cum_before % 256 AS seq_offset_tokens, n_tokens
+FROM c
+""",
+)
+def patch_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VISION-TRAINING sequence packing: decode the lossless images,
+    patchify (multimodal.patchify, 8x8), count patch tokens per image
+    THROUGH THE REAL CODEC PATH, and pack them into 256-patch training
+    sequences (text.pack_sequences — same concat-and-chop semantics as
+    the LLM pipeline).  The oracle never decodes: it predicts the patch
+    count arithmetically from the generator's (w, h) id formula and
+    replays the pack window — so a decode/patchify drift changes
+    n_tokens and breaks the hash."""
+    from ionex_spark.operators import multimodal as mm
+    from ionex_spark.sources.images import images_df
+
+    imgs = images_df(spark, 200).filter("fmt = 'ppm'")
+    per_img = (
+        mm.patchify(imgs, patch=8)
+        .groupBy("image_id")
+        .agg(F.count(F.lit(1)).alias("n_patches"))
+    )
+    out = tx.pack_sequences(
+        per_img,
+        budget_tokens=256,
+        n_shards=4,
+        id_col="image_id",
+        tokens_col="n_patches",
+        shard_expr=f"({tx.sample_hash_sql('image_id', 'spark')}) % 4",
+    )
+    return out

@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "patch_pack_sequences": [
+        "oracle",  # patch counts from the (w,h) formula, never decoded
+        f"{T}/test_spark_ops.py::test_patchify_reconstructs_and_grid_shape",
+    ],
     "mixture_quality_curriculum": [
         "oracle",  # stratum derivation + thresholds + gate all in SQL
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",

@@ -33,6 +33,7 @@ NEW_THIS_ROUND = {
     "dedup_group_representatives",
     "incremental_dedup_bloom",
     "mixture_quality_curriculum",
+    "patch_pack_sequences",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",
