@@ -186,3 +186,40 @@ def test_gap_fill_single_window_partitioning(spark):
     # one exchange for the dense-axis groupBy, one for the window — the
     # two window scans themselves must NOT add separate exchanges
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_mixture_sample_is_narrow_no_exchange(spark, tmp_path):
+    """corpus_mixture_sample's data path is ONE hash-gated filter: after
+    the (separate, tiny) counts pre-agg, the sampled frame itself must
+    contain no Exchange — at 100 TB the mixture costs a scan, not a
+    shuffle."""
+    from ionex_spark.operators import shards as sh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sh.corpus_mixture_sample(
+        docs, "lang", {"en": 500_000, "zh": 300_000, "de": 200_000}
+    )
+    assert "Exchange" not in _plan(out)
+
+
+def test_shard_assign_single_exchange(spark):
+    """The two-phase global rank pays exactly ONE Exchange (the bucket
+    repartition); the within-bucket sort + window add none."""
+    from ionex_spark.operators import shards as sh
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(sh.shard_assign(docs, 16))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_dedup_bloom_probe_stage_shapes(spark):
+    """The bloom probe side must never shuffle the increment before the
+    membership rollup keyed on the probe id, and the filter table join
+    is a broadcast."""
+    from ionex_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inc = docs.selectExpr("doc_id + 9999 as doc_id", "text")
+    plan = _plan(dd.incremental_dedup(inc, docs))
+    assert "BroadcastHashJoin" in plan  # the m/64-row filter table
+    assert "CartesianProduct" not in plan
