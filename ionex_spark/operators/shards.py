@@ -44,7 +44,10 @@ def order_hash_sql(
     decisions.  backend='xxhash64' is the production fast path (JVM
     codegen, no hex round-trip — 20M-row probe: md5 order keys
     dominated shard_assign's wall time); masked to 60 bits so bucket
-    spans match the md5 domain."""
+    spans match the md5 domain.  NOTE: Spark's xxhash64 has a FIXED
+    seed (42) — the literal 11 here is hashed as an extra column, not a
+    seed, so any port must compute xxhash64_seed42(str(id), 11) the
+    same way or shard orders silently diverge (review finding)."""
     if backend == "xxhash64":
         if dialect != "spark":
             raise ValueError("xxhash64 backend has no DuckDB twin")
@@ -64,13 +67,24 @@ def row_content_hash_sql(
     order-independent shard checksum.  48 bits (12 md5 hex chars) so a
     plain BIGINT SUM stays exact up to 2^63/2^48 = 32768 rows per shard
     — shard_assign enforces the bound; past it, widen to a modular sum."""
+    # coalesce NULL text to '' in BOTH dialects: Spark concat(NULL) is
+    # NULL (the row would silently vanish from the checksum sum) while
+    # DuckDB concat skips NULL args (the row would hash differently) —
+    # review finding; the empty string keeps every row counted and the
+    # two engines bit-identical
     if dialect == "spark":
-        payload = f"concat(cast({id_expr} as string), ':', {text_expr})"
+        payload = (
+            f"concat(cast({id_expr} as string), ':',"
+            f" coalesce({text_expr}, ''))"
+        )
         return (
             f"cast(conv(substr(md5(concat('13:', {payload})), 1, 12),"
             f" 16, 10) as bigint)"
         )
-    payload = f"concat(CAST({id_expr} AS VARCHAR), ':', {text_expr})"
+    payload = (
+        f"concat(CAST({id_expr} AS VARCHAR), ':',"
+        f" coalesce({text_expr}, ''))"
+    )
     return (
         f"CAST(concat('0x', substr(md5(concat('13:', {payload})),"
         f" 1, 12)) AS BIGINT)"
@@ -338,7 +352,11 @@ def verify_shards(
     edits (content_hash — order-independent, so a reshuffled shard
     still verifies), and a manifest pointing at the wrong data
     generation.  One aggregation over the shard being loaded + a
-    broadcast-sized join against the manifest table."""
+    manifest-vs-rollup join of two per-shard frames (full outer so a
+    shard missing from EITHER side surfaces; Spark cannot broadcast a
+    full-outer join, and both sides are #shards rows, so the tiny
+    shuffle is fine — review finding corrected an earlier broadcast
+    claim here)."""
     recomputed = shard_manifest(data, id_col, text_col, bytes_col)
     m = manifest.select(
         "shard_id",
@@ -346,7 +364,7 @@ def verify_shards(
         F.col("n_bytes").alias("m_bytes"),
         F.col("content_hash").alias("m_hash"),
     )
-    j = recomputed.join(F.broadcast(m), "shard_id", "full_outer")
+    j = recomputed.join(m, "shard_id", "full_outer")
     checks = [
         ("n_rows", "m_rows", "n_rows"),
         ("n_bytes", "m_bytes", "n_bytes"),

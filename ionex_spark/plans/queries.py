@@ -129,12 +129,20 @@ def gate_history() -> dict:
         fresh = build_history(repo_root)
     except (OSError, ValueError):
         return committed
-    if fresh["latest_round"] <= committed["latest_round"]:
+    # compare CONTENT, not just latest_round: a driver re-write of the
+    # SAME round's CORRECTNESS file (changed green set, same round
+    # number) must also heal (review finding).  fresh == empty means
+    # we're outside a checkout (zip) — trust the committed JSON.
+    if fresh["latest_round"] == 0 or fresh == committed:
         return committed
-    try:  # keep the committed file in sync for zip consumers
-        with open(_HISTORY_PATH, "w") as f:
+    try:  # keep the committed file in sync for zip consumers —
+        # atomically, so concurrent callers can't interleave a
+        # truncated write into the git-tracked file (review finding)
+        tmp = _HISTORY_PATH + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(fresh, f, indent=1, sort_keys=True)
             f.write("\n")
+        os.replace(tmp, _HISTORY_PATH)
     except OSError:
         pass
     return fresh

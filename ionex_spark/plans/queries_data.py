@@ -2191,15 +2191,15 @@ WHERE containment_ab >= CAST(0.6 AS DOUBLE)
 )
 def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-CAPPED containment twin (round-5 verdict task #4): hot
-    shingles above document frequency {cap} are dropped from the
-    inverted index BEFORE the self-join, bounding the join at
+    shingles above document frequency _CONTAIN_CAP (= 4) are dropped
+    from the inverted index BEFORE the self-join, bounding the join at
     sum(df_i^2) <= cap * |index| — the configuration a 100 TB caller
     must run (one boilerplate trigram in 1M docs alone is ~5e11
     candidate rows uncapped).  Denominators still count ALL shingles,
     so capping only LOWERS containment — never a false positive.  The
     oracle applies the same df-filter CTE; the sf0.01 table has 151
     shingles above df=4, so the cap genuinely changes the index here,
-    not just in theory.""".replace("{cap}", str(_CONTAIN_CAP))
+    not just in theory."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.containment_pairs(
         docs, n=3, min_containment=0.6, max_doc_freq=_CONTAIN_CAP
@@ -2411,13 +2411,11 @@ FROM a GROUP BY 1
 def shard_bytes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-budget training shards (the 'target rows OR bytes' second
     half of round-5 verdict task #3b): greedy sequential fill of
-    ~{target} bytes per shard in the deterministic (order-hash, id)
-    order, docs never split, realized WITHOUT a global sort (per-bucket
-    byte subtotals -> exact global running sum).  The oracle replays
-    the same greedy fill with one global window — different plan shape,
-    bit-identical manifests.""".replace(
-        "{target}", str(_SHARD_BYTES_TARGET)
-    )
+    ~_SHARD_BYTES_TARGET (= 4096) bytes per shard in the deterministic
+    (order-hash, id) order, docs never split, realized WITHOUT a global
+    sort (per-bucket byte subtotals -> exact global running sum).  The
+    oracle replays the same greedy fill with one global window —
+    different plan shape, bit-identical manifests."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assigned = _sh.shard_assign_bytes(docs, _SHARD_BYTES_TARGET)
     return _sh.shard_manifest(assigned, bytes_col="n_chars").select(

@@ -384,16 +384,17 @@ def streaming_incremental_dedup(
     rows pay the exact stream-static verify join against the corpus
     hashes.
 
-    COMPLETELY STATELESS per micro-batch: the m/64-word filter is
-    materialized once at query start and inlined as a literal CASE
-    (streams re-plan per batch, so a driver-side literal is the
-    broadcast-variable shape), and the k bit tests are k inline
-    conjuncts in ONE projection — no explode, no aggregation, no
-    watermark needed, append-mode safe.  The verify join is
-    stream-static (the corpus is static within the query; restart to
-    pick up a corpus snapshot advance, like the other stream-static
-    joins here).  Output schema matches the batch operator:
-    (id, bloom_candidate, is_dup) — is_dup exact, no false negatives."""
+    STATELESS and append-mode safe: the m/64-word filter table is
+    materialized once at query start and each of the k bit tests is a
+    stream-static LEFT JOIN against it on word_idx — per micro-batch
+    that is k broadcasts of a constant-size table and O(1) work per
+    row, at ANY m_bits (an inlined CASE alternative scans m/64 arms
+    per row and blows past codegen limits at corpus-scale filters —
+    review finding).  No aggregation, no watermark.  The corpus is
+    static within the query; restart to pick up a corpus snapshot
+    advance, like the other stream-static joins here.  Output schema
+    matches the batch operator: (id, bloom_candidate, is_dup) —
+    is_dup exact, no false negatives."""
     from pyspark.sql import functions as F
 
     from ionex_spark.operators.sketch import bloom_build, bloom_probe_sql
@@ -402,32 +403,24 @@ def streaming_incremental_dedup(
     corpus_hashes = corpus.selectExpr(f"{chash} as chash").dropDuplicates(
         ["chash"]
     )
-    bloom = {
-        r.word_idx: r.word
-        for r in bloom_build(
-            corpus_hashes, "chash", m_bits, k, backend
-        ).collect()
-    }
+    bloom = bloom_build(corpus_hashes, "chash", m_bits, k, backend).cache()
+    bloom.count()  # materialize once at query start
 
-    def word_of(idx_expr: str) -> str:
-        return ("CASE " + " ".join(
-            f"WHEN ({idx_expr}) = {wi} THEN CAST({w} AS BIGINT)"
-            for wi, w in bloom.items()
-        ) + " ELSE CAST(0 AS BIGINT) END")
-
-    conjuncts = []
-    for p in bloom_probe_sql("chash", m_bits, k, backend):
-        # p is `struct(<idx> as word_idx, <mask> as mask)` — reuse its
-        # fields positionally so the bit test stays a plain expression
-        conjuncts.append(
-            f"((({word_of(f'({p}).word_idx')}) & ({p}).mask)"
-            f" = ({p}).mask)"
-        )
     probes = increment.selectExpr(
         f"{id_col} as probe_id", f"{chash} as chash"
-    ).selectExpr(
+    )
+    tests = []
+    for j, p in enumerate(bloom_probe_sql("chash", m_bits, k, backend)):
+        probes = probes.withColumn(f"_wi{j}", F.expr(f"({p}).word_idx"))
+        probes = probes.withColumn(f"_mk{j}", F.expr(f"({p}).mask"))
+        side = F.broadcast(
+            bloom.selectExpr(f"word_idx as _wi{j}", f"word as _w{j}")
+        )
+        probes = probes.join(side, f"_wi{j}", "left")
+        tests.append(f"((coalesce(_w{j}, 0) & _mk{j}) = _mk{j})")
+    probes = probes.selectExpr(
         "probe_id", "chash",
-        f"cast({' and '.join(conjuncts)} as int) as bloom_candidate",
+        f"cast({' and '.join(tests)} as int) as bloom_candidate",
     )
     verified = probes.filter("bloom_candidate = 1").join(
         corpus_hashes.withColumn("_dup", F.lit(1)), "chash", "left"

@@ -1408,8 +1408,9 @@ def test_knn_adaptive_cell_beats_fixed_sparse(spark):
     import numpy as np
 
     rng = np.random.RandomState(42)
-    # 400 points over the full globe: ~80% clustered in a 20x20 deg hot
-    # region (Zipfian-style mass concentration), the rest scattered
+    # 150 points over the full globe: ~70% clustered in a 100x120 deg
+    # hot region (Zipfian-style mass concentration), the rest scattered
+    # — sparse enough that fixed 5-deg cells mostly fail the certificate
     n = 150
     hot = rng.rand(n) < 0.7
     lat = np.where(hot, -40.0 + rng.rand(n) * 100.0,
