@@ -341,6 +341,7 @@ def main() -> None:
             "shard_bytes_manifest", "dedup_group_representatives",
             "incremental_dedup_bloom", "mixture_quality_curriculum",
             "patch_pack_sequences",
+            "group_sample_topk", "boilerplate_ngram_stats",
             "streaming_histogram_batch", "knn_points_adaptive",
             "domain_pagerank_dangling",
         ]

@@ -524,3 +524,74 @@ def canonical_url_sql(url: str) -> str:
     # both.
     s = f"(case when {s} like 'www.%' then substr({s}, 5) else {s} end)"
     return f"regexp_replace({s}, '/+$', '')"
+
+
+def sample_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic K examples per group — eval-set / few-shot /
+    inspection sampling: rank rows inside each group by the portable
+    sampling hash (then id) and keep the first k.  Unlike
+    `TABLESAMPLE`/rand(), the selection is reproducible across engines,
+    reruns, and partitionings, and adding rows to OTHER groups never
+    changes a group's picks.
+
+    Scale: one window per group.  If a group can be huge, pre-filter
+    with `sample_hash < t` for t ~ 3*k*1e4/|group| first so the sort
+    sees O(k) candidates — the window itself is the correct final
+    tie-break either way.  Output: input columns + sample_rank
+    (1-based)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(sample_hash_sql(id_col)), id_col
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document boilerplate measure (the C4/Gopher-style 'drop
+    docs dominated by text that appears everywhere'): an n-gram is
+    boilerplate when it occurs in >= ``min_docs`` distinct documents;
+    each doc reports the fraction of its n-gram slots covered by
+    boilerplate.  Complements repetition_ngrams (WITHIN-doc loops) and
+    containment (pairwise overlap) — this catches site templates and
+    license headers shared by thousands of docs.
+
+    Shape: shingle explode -> distinct per doc -> document-frequency
+    aggregate -> join back -> per-doc rollup.  Two shuffles keyed on
+    the shingle, both map-side combining; never pairwise.  Output:
+    (id, n_ngrams, n_boilerplate, boilerplate_frac)."""
+    from pyspark.sql import functions as F
+
+    from ionex_spark.operators.dedup import shingles_exploded
+
+    sh = shingles_exploded(df, id_col, text_col, n=n).dropDuplicates(
+        [id_col, "token"]
+    )
+    dfreq = sh.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    tagged = sh.join(dfreq, "token").selectExpr(
+        id_col,
+        f"cast(_df >= {min_docs} as int) as _hot",
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.expr("cast(sum(_hot) as bigint)").alias("n_boilerplate"),
+        F.expr(
+            "cast(sum(_hot) as double) / cast(count(1) as double)"
+        ).alias("boilerplate_frac"),
+    )

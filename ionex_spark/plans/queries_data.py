@@ -2681,3 +2681,70 @@ def patch_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_expr=f"({tx.sample_hash_sql('image_id', 'spark')}) % 4",
     )
     return out
+
+
+# ----------------------------- per-group deterministic sampling
+
+
+@register(
+    "group_sample_topk",
+    priority=100,
+    oracle=f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {tx.sample_hash_sql('doc_id', 'duckdb')}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+""",
+)
+def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-per-group sampling (eval-set construction /
+    few-shot pools / inspection samples): rank by the portable md5
+    sampling hash inside each language, keep the first 5 — stable
+    under reruns, engine swaps, and growth of OTHER groups (the rank
+    depends only on the group's own members)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = tx.sample_topk_per_group(docs, "lang", k=5)
+    return out.selectExpr(
+        "doc_id", "lang", "cast(sample_rank as bigint) as sample_rank"
+    )
+
+
+# ----------------------------- cross-document boilerplate mass
+
+_BP_N = 5
+_BP_MIN_DOCS = 4
+
+
+@register(
+    "boilerplate_ngram_stats",
+    priority=100,
+    oracle=f"""
+WITH sh AS ({dd.shingles_duckdb_sql(_BP_N, distinct=True)}),
+dfreq AS (SELECT token, count(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN dfreq.df >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate,
+       CAST(sum(CASE WHEN dfreq.df >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boilerplate_frac
+FROM sh JOIN dfreq USING (token)
+GROUP BY 1
+""",
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate fraction (C4/Gopher-style template
+    removal): per doc, the share of its distinct 5-grams that occur in
+    >= 4 documents — catches site templates / license headers shared
+    corpus-wide, which within-doc repetition (repetition_ngrams) and
+    pairwise containment both miss.  Two map-side-combining shuffles
+    keyed on the shingle; never pairwise."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.boilerplate_ngram_stats(
+        docs, n=_BP_N, min_docs=_BP_MIN_DOCS
+    )

@@ -376,6 +376,14 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "group_sample_topk": [
+        "oracle",  # plain window SQL over standard functions
+        f"{T}/test_spark_ops.py::test_sample_topk_per_group_stability_properties",
+    ],
+    "boilerplate_ngram_stats": [
+        "oracle",
+        f"{T}/test_spark_ops.py::test_boilerplate_ngram_planted_template",
+    ],
     "patch_pack_sequences": [
         "oracle",  # patch counts from the (w,h) formula, never decoded
         f"{T}/test_spark_ops.py::test_patchify_reconstructs_and_grid_shape",

@@ -34,6 +34,8 @@ NEW_THIS_ROUND = {
     "incremental_dedup_bloom",
     "mixture_quality_curriculum",
     "patch_pack_sequences",
+    "group_sample_topk",
+    "boilerplate_ngram_stats",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",

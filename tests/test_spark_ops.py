@@ -1498,3 +1498,58 @@ def test_incremental_dedup_no_false_negatives_and_prefilter(spark):
         assert cand in (0, 1)
     # is_dup implies bloom_candidate (the prefilter is a superset)
     assert all(c >= d for c, d in out.values())
+
+
+def test_sample_topk_per_group_stability_properties(spark):
+    """K-per-group sampling: exactly k per group (or the whole group),
+    deterministic across calls, and a group's picks are INVARIANT to
+    other groups growing (the eval-set stability property)."""
+    from ionex_spark.operators import text as tx
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "lang")
+    s1 = {(r.lang, r.doc_id) for r in
+          tx.sample_topk_per_group(docs, "lang", 3).collect()}
+    sizes = {}
+    for lang, _ in s1:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    group_n = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in sizes.items():
+        assert n == min(3, group_n[lang])
+    # rerun: identical
+    s2 = {(r.lang, r.doc_id) for r in
+          tx.sample_topk_per_group(docs, "lang", 3).collect()}
+    assert s1 == s2
+    # grow OTHER groups: en picks unchanged
+    grown = docs.unionByName(
+        docs.filter("lang != 'en'").selectExpr(
+            "doc_id + 50000 as doc_id", "lang"
+        )
+    )
+    s3 = {(r.lang, r.doc_id) for r in
+          tx.sample_topk_per_group(grown, "lang", 3).collect()}
+    assert {p for p in s1 if p[0] == "en"} == {p for p in s3 if p[0] == "en"}
+
+
+def test_boilerplate_ngram_planted_template(spark):
+    """Plant one shared template across many docs: those docs' measured
+    boilerplate fraction is high, unique docs score zero, and the
+    threshold excludes n-grams below min_docs."""
+    from ionex_spark.operators import text as tx
+
+    template = "lorem ipsum dolor sit amet consectetur"
+    rows = [(i, f"{template} unique{i}a unique{i}b unique{i}c")
+            for i in range(20)]
+    rows += [(100 + i, f"only{i}x only{i}y only{i}z only{i}w only{i}v "
+              f"only{i}u only{i}t")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           tx.boilerplate_ngram_stats(docs, n=5, min_docs=10).collect()}
+    for i in range(20):  # template docs: the 2 template 5-grams are hot
+        assert out[i].n_boilerplate == 2, out[i]
+        assert out[i].boilerplate_frac > 0.3
+    for i in range(5):  # unique docs: nothing shared
+        assert out[100 + i].n_boilerplate == 0
+        assert out[100 + i].boilerplate_frac == 0.0
