@@ -357,3 +357,41 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "list_id", "cos_sim")
     )
+
+
+def embedding_group_stats(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale_fp: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding CENTROIDS in fixed point — the monitoring
+    aggregate a training-data pipeline tracks per domain/source (drift
+    of the mean vector signals a distribution shift in new crawls).
+
+    Values are quantized to integers (floor(v * scale_fp)) BEFORE
+    summing, so the per-dimension sums are exact and merge-order-
+    independent — a float sum would drift in the last ulp between
+    partition orders and engines (the same reason pagerank is integer).
+    Long-form output (group, dim, n, sum_fp, mean_fp) keeps the oracle
+    a plain GROUP BY; mean_fp uses TRUNCATING integer division — both
+    Spark's `div` and DuckDB's `//` truncate toward zero on negative
+    sums (verified empirically; a floor-division pmod variant mismatched
+    by one on negative dims).  One shuffle keyed (group, dim), map-side
+    combining; rows x dim explode is narrow."""
+    pairs = df.filter(f"size({vec_col}) > 0").selectExpr(
+        group_col,
+        f"posexplode({vec_col}) as (dim, _v)",
+    ).selectExpr(
+        group_col,
+        "cast(dim as bigint) as dim",
+        f"cast(floor(cast(_v as double) * {float(scale_fp)!r}) as bigint)"
+        " as _v_fp",
+    )
+    return pairs.groupBy(group_col, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(_v_fp) as bigint)").alias("sum_fp"),
+    ).selectExpr(
+        group_col, "dim", "n", "sum_fp",
+        "cast(sum_fp div n as bigint) as mean_fp",
+    )

@@ -2748,3 +2748,32 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boilerplate_ngram_stats(
         docs, n=_BP_N, min_docs=_BP_MIN_DOCS
     )
+
+
+@register(
+    "embedding_label_centroids",
+    priority=100,
+    oracle="""
+WITH pairs AS (
+  SELECT label,
+         unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS p
+  FROM embeddings WHERE len(embedding) > 0
+),
+t AS (
+  SELECT label, CAST(p[2] AS BIGINT) - 1 AS dim,
+         CAST(floor(CAST(p[1] AS DOUBLE) * 1000000.0) AS BIGINT) AS v_fp
+  FROM pairs
+)
+SELECT label, dim, count(*) AS n,
+       CAST(sum(v_fp) AS BIGINT) AS sum_fp,
+       CAST(CAST(sum(v_fp) AS BIGINT) // count(*) AS BIGINT) AS mean_fp
+FROM t GROUP BY 1, 2
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exact fixed point
+    (similarity.embedding_group_stats) — the per-domain drift monitor
+    for embedding-space distribution shifts between crawls; integer
+    sums make an iterative-float-family aggregate bit-oracle-able."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim.embedding_group_stats(emb, group_col="label")

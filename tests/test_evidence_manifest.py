@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "embedding_label_centroids": [
+        "oracle",  # list_zip/unnest path vs posexplode path
+        f"{T}/test_spark_ops.py::test_embedding_group_stats_numpy_reference",
+    ],
     "group_sample_topk": [
         "oracle",  # plain window SQL over standard functions
         f"{T}/test_spark_ops.py::test_sample_topk_per_group_stability_properties",

@@ -36,6 +36,7 @@ NEW_THIS_ROUND = {
     "patch_pack_sequences",
     "group_sample_topk",
     "boilerplate_ngram_stats",
+    "embedding_label_centroids",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",

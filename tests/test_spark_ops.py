@@ -1553,3 +1553,35 @@ def test_boilerplate_ngram_planted_template(spark):
     for i in range(5):  # unique docs: nothing shared
         assert out[100 + i].n_boilerplate == 0
         assert out[100 + i].boilerplate_frac == 0.0
+
+
+def test_embedding_group_stats_numpy_reference(spark):
+    """Centroid fixed-point sums recomputed in numpy (independent
+    float->int quantization path) — exact match including negative
+    dims and the truncating mean."""
+    import numpy as np
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    rows = emb.select("label", "embedding").collect()
+    acc = {}
+    for r in rows:
+        if not r.embedding:
+            continue
+        v_fp = np.floor(
+            np.array(r.embedding, dtype=np.float64) * 1_000_000
+        ).astype(np.int64)
+        for d, v in enumerate(v_fp):
+            key = (r.label, d)
+            n, s = acc.get(key, (0, 0))
+            acc[key] = (n + 1, s + int(v))
+    got = {
+        (r.label, r.dim): (r.n, r.sum_fp, r.mean_fp)
+        for r in sim.embedding_group_stats(emb).collect()
+    }
+    assert set(got) == set(acc)
+    for key, (n, s) in acc.items():
+        # truncating division toward zero (Spark div / DuckDB //)
+        mean = s // n if s >= 0 else -((-s) // n)
+        assert got[key] == (n, s, mean), (key, got[key], (n, s, mean))
