@@ -342,7 +342,7 @@ def main() -> None:
             "incremental_dedup_bloom", "mixture_quality_curriculum",
             "patch_pack_sequences",
             "group_sample_topk", "boilerplate_ngram_stats",
-            "embedding_label_centroids",
+            "embedding_label_centroids", "contamination_safe_split",
             "streaming_histogram_batch", "knn_points_adaptive",
             "domain_pagerank_dangling",
         ]

@@ -940,3 +940,40 @@ def incremental_dedup(
             "coalesce(_dup, 0) as is_dup",
         )
     )
+
+
+# ------------------------------------ contamination-safe dataset split
+
+def contamination_safe_split(
+    members: DataFrame,
+    val_permille: int = 100,
+    test_permille: int = 100,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """Train/val/test split that can NEVER leak near-duplicates across
+    splits: the unit of assignment is the connected-components dup
+    GROUP, not the document — every member inherits its group's split,
+    so a training doc is never a near-dup of an eval doc (the
+    train-on-eval contamination a doc-level random split silently
+    commits whenever dup pairs exist).
+
+    Deterministic via the portable sampling hash of the GROUP id
+    (10000-gate): h < test_permille*10 -> 'test', < (test+val)*10 ->
+    'val', else 'train'.  Narrow (one expression over the membership
+    frame); the split proportions are exact-in-expectation over
+    groups, so heavily duplicated content cannot bias eval upward.
+
+    Input: (id, group) from connected_components.  Output adds
+    ``split``."""
+    from ionex_spark.operators.text import sample_hash_sql
+
+    t = test_permille * 10
+    v = (test_permille + val_permille) * 10
+    return members.selectExpr(
+        id_col,
+        group_col,
+        f"case when {sample_hash_sql(group_col)} < {t} then 'test'"
+        f" when {sample_hash_sql(group_col)} < {v} then 'val'"
+        " else 'train' end as split",
+    )

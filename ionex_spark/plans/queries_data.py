@@ -2777,3 +2777,40 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums make an iterative-float-family aggregate bit-oracle-able."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.embedding_group_stats(emb, group_col="label")
+
+
+@register(
+    "contamination_safe_split",
+    priority=100,
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+r(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.node
+),
+members AS (SELECT src AS doc_id, min(node) AS group_id FROM r GROUP BY src)
+SELECT doc_id, group_id,
+       CASE WHEN {tx.sample_hash_sql('group_id', 'duckdb')} < 1000
+            THEN 'test'
+            WHEN {tx.sample_hash_sql('group_id', 'duckdb')} < 2000
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM members
+""",
+)
+def contamination_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test split (10/10/80): near-dup groups from
+    connected components are assigned whole, so no training doc is a
+    near-duplicate of an eval doc — the contamination a doc-level
+    random split commits whenever dup pairs exist
+    (dedup.contamination_safe_split; property test proves zero minhash
+    pairs cross splits)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    members = dd.connected_components(docs.select("doc_id"), pairs)
+    return dd.contamination_safe_split(members)

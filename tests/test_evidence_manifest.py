@@ -376,6 +376,10 @@ EVIDENCE: dict[str, list[str]] = {
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
     ],
+    "contamination_safe_split": [
+        "oracle",  # transitive closure + hash split re-done in SQL
+        f"{T}/test_spark_ops.py::test_contamination_safe_split_no_cross_split_pairs",
+    ],
     "embedding_label_centroids": [
         "oracle",  # list_zip/unnest path vs posexplode path
         f"{T}/test_spark_ops.py::test_embedding_group_stats_numpy_reference",

@@ -37,6 +37,7 @@ NEW_THIS_ROUND = {
     "group_sample_topk",
     "boilerplate_ngram_stats",
     "embedding_label_centroids",
+    "contamination_safe_split",
     "dedup_containment_capped",
     "patch_extract_stats",
     "streaming_histogram_batch",

@@ -1585,3 +1585,31 @@ def test_embedding_group_stats_numpy_reference(spark):
         # truncating division toward zero (Spark div / DuckDB //)
         mean = s // n if s >= 0 else -((-s) // n)
         assert got[key] == (n, s, mean), (key, got[key], (n, s, mean))
+
+
+def test_contamination_safe_split_no_cross_split_pairs(spark):
+    """THE guarantee: no near-dup pair straddles two splits (groups are
+    assigned whole); union of splits covers every doc exactly once."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from ionex_spark.plans.queries_data import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, "/root/testdata/sf0.01")
+    members = dd.connected_components(docs.select("doc_id"), pairs)
+    split = dd.contamination_safe_split(members).cache()
+
+    assert split.count() == docs.count()
+    assert split.select("doc_id").distinct().count() == docs.count()
+
+    sp = {r.doc_id: r.split for r in split.collect()}
+    crossing = [
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+        if sp[r.id_a] != sp[r.id_b]
+    ]
+    assert not crossing, crossing[:5]
+    # all three splits materialize at this scale and proportions are
+    # plausibly 10/10/80 over groups
+    from collections import Counter
+    c = Counter(sp.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
