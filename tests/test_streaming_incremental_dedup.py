@@ -63,3 +63,59 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == batch
     assert any(d == 1 for _, d in got.values())  # planted dups present
     assert any(d == 0 for _, d in got.values())  # planted new docs too
+
+
+def test_streaming_incremental_dedup_checkpoint_restart(spark, tmp_path):
+    """Restart with the same checkpoint: the second query run processes
+    ONLY files added after the stop, and the parquet sink stays
+    exactly-once (no reprocessed rows, no gaps) — the operator is
+    stateless, so all resume correctness rides on source offsets."""
+    from ionex_spark.streaming.stream import streaming_incremental_dedup
+
+    corpus = spark.read.parquet(DOCS)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    inc = _increment(spark)
+    half1 = inc.filter("doc_id % 2 = 0")
+    half2 = inc.filter("doc_id % 2 = 1")
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(src)
+        )
+        out = streaming_incremental_dedup(stream, corpus)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == half1.count()
+
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(sink)
+    assert got.count() == inc.count()  # exactly-once: no dup, no gap
+    assert got.select("doc_id").distinct().count() == inc.count()
+
+    # values identical to the batch operator after the restart
+    from ionex_spark.operators import dedup as dd
+
+    batch = {
+        r.doc_id: (r.bloom_candidate, r.is_dup)
+        for r in dd.incremental_dedup(inc, corpus).collect()
+    }
+    streamed = {
+        r.doc_id: (r.bloom_candidate, r.is_dup) for r in got.collect()
+    }
+    assert streamed == batch
