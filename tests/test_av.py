@@ -90,3 +90,86 @@ def test_av_rows_route_through_spatial_join(spark):
     cells = spatial.build_tec_cells(spark)
     out = spatial.spatial_join_bilinear(aud, cells)
     assert out.filter("tec is not null").count() > 0
+
+
+def test_audio_fingerprint_twins_and_distinct(spark):
+    """Planted twin: the same samples re-encoded with ±1-unit noise
+    fingerprint 0-2 hamming away; clips of different tone/length are
+    far apart; the near-dup join finds exactly the planted twins."""
+    import numpy as np
+    import pandas as pd
+
+    from ionex_spark.core import av_codec
+    from ionex_spark.operators import av
+
+    rate = 8000
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        n = 800 + (i % 5) * 400
+        t = np.arange(n) / rate
+        samples = np.rint(3000.0 * np.sin(2 * np.pi * (100 + i * 40) * t))
+        rows.append((f"a{i}", av_codec.pcm16_encode(samples, rate), "pcm16"))
+        # noised twin of every third clip
+        if i % 3 == 0:
+            noisy = samples + rng.randint(-1, 2, size=n)
+            rows.append(
+                (f"a{i}-twin", av_codec.pcm16_encode(noisy, rate), "pcm16")
+            )
+    audio = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, codec string"
+    )
+    fps = {r.audio_id: r.fp64 for r in av.audio_fingerprint64(audio).collect()}
+
+    def ham(a, b):
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    for i in range(0, 12, 3):
+        assert ham(f"a{i}", f"a{i}-twin") == 0, (i, ham(f"a{i}", f"a{i}-twin"))
+    # different clips: hash-spread bands land far apart
+    assert ham("a1", "a2") >= 8
+
+    pairs = {(r.id_a, r.id_b)
+             for r in av.audio_near_dup_pairs(audio, max_hamming=3).collect()}
+    expected = {tuple(sorted((f"a{i}", f"a{i}-twin"))) for i in range(0, 12, 3)}
+    assert {tuple(sorted(p)) for p in pairs} == expected
+
+
+def test_video_signature_majority_robust(spark):
+    """Majority-of-frame-phashes: a video with a few corrupted frames
+    keeps the same signature (minority outvoted); the near-dup join
+    pairs original with corrupted copy and nothing else."""
+    import numpy as np
+
+    from ionex_spark.core import av_codec
+    from ionex_spark.operators import av
+
+    rng = np.random.RandomState(7)
+
+    def make_video(seed, corrupt_frames=()):
+        nf, h, w = 9, 16, 16
+        rs = np.random.RandomState(seed)
+        base = rs.randint(0, 255, size=(h, w), dtype=np.uint8)
+        frames = np.stack([base] * nf)
+        for f in corrupt_frames:
+            frames[f] = rng.randint(0, 255, size=(h, w), dtype=np.uint8)
+        return av_codec.rawv_encode(frames, fps=24)
+
+    rows = [
+        ("v0", make_video(1), "rawv"),
+        ("v0-copy", make_video(1, corrupt_frames=(2,)), "rawv"),
+        ("v1", make_video(2), "rawv"),
+        ("v2", make_video(3), "rawv"),
+    ]
+    videos = spark.createDataFrame(
+        rows, "video_id string, bytes binary, codec string"
+    )
+    sigs = {r.video_id: r.sig64
+            for r in av.video_signature64(videos, every=1).collect()}
+    assert sigs["v0"] == sigs["v0-copy"]  # minority frame outvoted
+    assert sigs["v0"] != sigs["v1"]
+
+    pairs = {tuple(sorted((r.id_a, r.id_b)))
+             for r in av.video_near_dup_pairs(videos, max_hamming=3,
+                                              every=1).collect()}
+    assert pairs == {("v0", "v0-copy")}
