@@ -180,17 +180,12 @@ def audio_near_dup_pairs(
     fingerprint, Manku-refined candidates, exact XOR-popcount verify.
     Payload bytes never cross a shuffle (fingerprints are computed in
     one narrow pass; the join sees 16 bytes per row)."""
-    from ionex_spark.operators import dedup as dd
+    from ionex_spark.operators.multimodal import phash_near_dup_pairs
 
-    sig = audio_fingerprint64(audio).selectExpr(
-        "audio_id as doc_id",
-        *[
-            f"(shiftright(fp64, {16 * b}) & 65535) as band_{b}"
-            for b in range(4)
-        ],
+    return phash_near_dup_pairs(
+        audio_fingerprint64(audio), max_hamming,
+        id_col="audio_id", phash_col="fp64",
     )
-    out = dd.hamming_pairs_from_sig(sig, max_hamming, "doc_id", "refined")
-    return out.selectExpr("id_a", "id_b", "hamming")
 
 
 def video_signature64(videos: DataFrame, every: int = 4) -> DataFrame:
@@ -228,14 +223,9 @@ def video_near_dup_pairs(
 ) -> DataFrame:
     """Video near-duplicate pairs by majority-phash signature hamming —
     same banded kernel as image/audio/text."""
-    from ionex_spark.operators import dedup as dd
+    from ionex_spark.operators.multimodal import phash_near_dup_pairs
 
-    sig = video_signature64(videos, every=every).selectExpr(
-        "video_id as doc_id",
-        *[
-            f"(shiftright(sig64, {16 * b}) & 65535) as band_{b}"
-            for b in range(4)
-        ],
+    return phash_near_dup_pairs(
+        video_signature64(videos, every=every), max_hamming,
+        id_col="video_id", phash_col="sig64",
     )
-    out = dd.hamming_pairs_from_sig(sig, max_hamming, "doc_id", "refined")
-    return out.selectExpr("id_a", "id_b", "hamming")

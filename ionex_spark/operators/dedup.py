@@ -968,12 +968,20 @@ def contamination_safe_split(
     ``split``."""
     from ionex_spark.operators.text import sample_hash_sql
 
+    if val_permille < 0 or test_permille < 0 or (
+        val_permille + test_permille > 1000
+    ):
+        raise ValueError(
+            f"val_permille={val_permille} test_permille={test_permille}"
+            " invalid: both must be >= 0 and sum to <= 1000"
+        )
     t = test_permille * 10
     v = (test_permille + val_permille) * 10
+    gate = sample_hash_sql(group_col, salt="split")
     return members.selectExpr(
         id_col,
         group_col,
-        f"case when {sample_hash_sql(group_col)} < {t} then 'test'"
-        f" when {sample_hash_sql(group_col)} < {v} then 'val'"
+        f"case when {gate} < {t} then 'test'"
+        f" when {gate} < {v} then 'val'"
         " else 'train' end as split",
     )

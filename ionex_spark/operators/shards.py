@@ -157,7 +157,7 @@ def corpus_mixture_sample(
     fractions = {d: t / HASH_GATE for d, t in thr.items()}
     return df.filter(
         F.expr(
-            f"{sample_hash_sql(id_col)}"
+            f"{sample_hash_sql(id_col, salt='mix')}"
             f" < {strata_threshold_case_sql(domain_col, fractions)}"
         )
     )

@@ -133,18 +133,42 @@ QUALITY_FILTER_SQL = (
 
 # ------------------------------------------------ sampling & packing ops
 
-def sample_hash_sql(id_expr: str, dialect: str = "spark") -> str:
+def sample_hash_sql(
+    id_expr: str, dialect: str = "spark", salt: str = ""
+) -> str:
     """Deterministic sampling hash in [0, 10000): the engine's ONE
     portable md5-to-int64 kernel (dedup.token_hash_sql and its DuckDB
     twin) applied to the stringified id, mod 1e4 — identical value in
     Spark and DuckDB, so a sampled dataset is REPRODUCIBLE across engines
-    and reruns (the seeded-rand alternative is neither)."""
+    and reruns (the seeded-rand alternative is neither).
+
+    ``salt`` makes gates INDEPENDENT (review finding): two unsalted
+    gates composed in a pipeline share one hash, so the second gate's
+    thresholds see a hash confined to the first gate's survivor range
+    instead of uniform [0, 10000) — e.g. a mixture over a
+    stratified-sampled corpus silently over-keeps every domain whose
+    upstream keep-fraction was below the mixture threshold.  Each
+    distinct sampling purpose must pass its own salt (mixture='mix',
+    split='split', per-group sampling='topk'; plain stratified
+    sampling keeps the unsalted default)."""
     from ionex_spark.operators import dedup as dd
 
+    if salt and not salt.replace("_", "").isalnum():
+        raise ValueError(f"salt must be alphanumeric, got {salt!r}")
     if dialect == "spark":
-        h = dd.token_hash_sql(f"cast({id_expr} as string)", 7)
+        v = (
+            f"concat('{salt}:', cast({id_expr} as string))"
+            if salt
+            else f"cast({id_expr} as string)"
+        )
+        h = dd.token_hash_sql(v, 7)
     else:
-        h = dd.token_hash_duckdb_sql(f"CAST({id_expr} AS VARCHAR)", 7)
+        v = (
+            f"concat('{salt}:', CAST({id_expr} AS VARCHAR))"
+            if salt
+            else f"CAST({id_expr} AS VARCHAR)"
+        )
+        h = dd.token_hash_duckdb_sql(v, 7)
     return f"({h} % 10000)"
 
 
@@ -547,7 +571,7 @@ def sample_topk_per_group(
     from pyspark.sql import Window, functions as F
 
     w = Window.partitionBy(group_col).orderBy(
-        F.expr(sample_hash_sql(id_col)), id_col
+        F.expr(sample_hash_sql(id_col, salt="topk")), id_col
     )
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

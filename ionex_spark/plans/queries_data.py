@@ -2089,7 +2089,7 @@ thr AS (
 )
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN thr ON thr.lang = d.lang
-WHERE {tx.sample_hash_sql('d.doc_id', 'duckdb')} < thr.t
+WHERE {tx.sample_hash_sql('d.doc_id', 'duckdb', salt='mix')} < thr.t
 """,
 )
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2602,7 +2602,7 @@ thr AS (
 )
 SELECT d.doc_id, d.stratum, d.lang, d.n_chars
 FROM strat d JOIN thr ON thr.stratum = d.stratum
-WHERE {tx.sample_hash_sql('d.doc_id', 'duckdb')} < thr.t
+WHERE {tx.sample_hash_sql('d.doc_id', 'duckdb', salt='mix')} < thr.t
 """,
 )
 def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,7 +2694,7 @@ SELECT doc_id, lang, sample_rank FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY {tx.sample_hash_sql('doc_id', 'duckdb')}, doc_id
+           ORDER BY {tx.sample_hash_sql('doc_id', 'duckdb', salt='topk')}, doc_id
          ) AS sample_rank
   FROM documents
 ) WHERE sample_rank <= 5
@@ -2795,9 +2795,9 @@ r(src, node) AS (
 ),
 members AS (SELECT src AS doc_id, min(node) AS group_id FROM r GROUP BY src)
 SELECT doc_id, group_id,
-       CASE WHEN {tx.sample_hash_sql('group_id', 'duckdb')} < 1000
+       CASE WHEN {tx.sample_hash_sql('group_id', 'duckdb', salt='split')} < 1000
             THEN 'test'
-            WHEN {tx.sample_hash_sql('group_id', 'duckdb')} < 2000
+            WHEN {tx.sample_hash_sql('group_id', 'duckdb', salt='split')} < 2000
             THEN 'val'
             ELSE 'train' END AS split
 FROM members

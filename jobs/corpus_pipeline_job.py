@@ -70,6 +70,19 @@ def build_chunk(
     )
 
 
+def chunk_ranges(hash_buckets: int, chunks: int) -> list[tuple[int, int]]:
+    """Contiguous hash-bucket ranges covering [0, hash_buckets) in
+    ``chunks`` pieces (last takes the remainder).  Shared by this job
+    and jobs/pretrain_data_job.py so the range math lives once; chunks
+    is clamped to hash_buckets so per-chunk width is never zero."""
+    chunks = max(1, min(chunks, hash_buckets))
+    per = hash_buckets // chunks
+    return [
+        (i * per, hash_buckets if i == chunks - 1 else (i + 1) * per)
+        for i in range(chunks)
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True)
@@ -89,16 +102,16 @@ def main() -> None:
 
     table = SnapshotTable(args.out)
     job = ResumableJob(table, args.job_id)
-    per = args.hash_buckets // args.chunks
     chunks = [
         (
             f"chunk-{i:04d}",
             (lambda lo, hi: lambda s: build_chunk(
                 s, args.docs, lo, hi, args.hash_buckets, args.bench
-            ))(i * per, args.hash_buckets if i == args.chunks - 1
-               else (i + 1) * per),
+            ))(lo, hi),
         )
-        for i in range(args.chunks)
+        for i, (lo, hi) in enumerate(
+            chunk_ranges(args.hash_buckets, args.chunks)
+        )
     ]
     result = job.run(spark, chunks)
     print(

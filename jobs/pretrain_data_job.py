@@ -9,8 +9,15 @@ training shards + per-shard manifests.
         jobs/pretrain_data_job.py \
         --docs /root/testdata/sf0.1/documents.parquet \
         --out /tmp/pretrain --job-id run1 \
-        --weights '{"en": 600000, "zh": 250000, "de": 150000}' \
+        --weights '{"en": 1000000}' \
         --target-rows 256 --chunks 4
+
+    NOTE on --weights: the clean phase keeps only languages in
+    corpus_pipeline_job.SAMPLE_FRACS whose text passes the
+    language-agreement filter (on the synthetic corpus only en
+    survives) — weight only languages that survive cleaning;
+    shard_phases raises EARLY with the observed counts otherwise,
+    before any shard work runs.
 
 Three phases, each a ResumableJob over its own snapshot table, so a
 crash anywhere resumes at chunk granularity without recomputing or
@@ -60,16 +67,16 @@ def clean_phase(spark, docs_path, out, job_id, chunks, hash_buckets,
 
     table = SnapshotTable(out + "/clean")
     job = ResumableJob(table, f"{job_id}-clean")
-    per = hash_buckets // chunks
     res = job.run(spark, [
         (
             f"clean-{i:04d}",
             (lambda lo, hi: lambda s: cp.build_chunk(
                 s, docs_path, lo, hi, hash_buckets, bench_path
-            ))(i * per,
-               hash_buckets if i == chunks - 1 else (i + 1) * per),
+            ))(lo, hi),
         )
-        for i in range(chunks)
+        for i, (lo, hi) in enumerate(
+            cp.chunk_ranges(hash_buckets, chunks)
+        )
     ])
     return table, res
 
@@ -79,13 +86,34 @@ def shard_phases(spark, clean_table, out, job_id, weights, target_rows,
     from ionex_spark.operators import shards as sh
     from ionex_spark.sources.tableio import ResumableJob, SnapshotTable
 
-    def assigned(s):
+    def compute_assigned(s):
         docs = clean_table.read(s)
         if weights:
+            counts = {
+                r[0]: r[1]
+                for r in docs.groupBy("lang").count().collect()
+            }
+            missing = [d for d in weights if counts.get(d, 0) <= 0]
+            if missing:
+                raise ValueError(
+                    f"mixture domains {missing} have no rows after the"
+                    f" clean phase (observed: {counts}); weight only"
+                    " languages that survive cleaning"
+                )
             docs = sh.corpus_mixture_sample(docs, "lang", weights)
         return sh.shard_assign(docs, target_rows)
 
-    n_rows = assigned(spark).count()
+    # compute the (pure, deterministic) assignment ONCE per process and
+    # let every chunk filter the checkpointed frame — the resume design
+    # only needs chunks to be pure functions across PROCESS restarts,
+    # not to recompute the mixture counts + bucket offsets per chunk
+    # (review finding: 1 + chunks full recomputations)
+    assigned_df = compute_assigned(spark).localCheckpoint(eager=True)
+
+    def assigned(s):
+        return assigned_df
+
+    n_rows = assigned_df.count()
     n_shards = max(1, math.ceil(n_rows / target_rows))
     per = math.ceil(n_shards / chunks)
     ranges = [

@@ -67,7 +67,8 @@ def test_mixture_sample_matches_hashlib_reference(spark):
     expect = {
         r.doc_id
         for r in rows
-        if r.lang in thr and _md5int(7, str(r.doc_id)) % 10_000 < thr[r.lang]
+        if r.lang in thr
+        and _md5int(7, f"mix:{r.doc_id}") % 10_000 < thr[r.lang]
     }
     got = {
         r.doc_id
