@@ -310,3 +310,48 @@ def test_bpe_batch_selection_equals_sequential(words, n_merges, batch):
 
     assert b_merges == seq_merges, (words, n_merges, batch)
     assert b_vocab == seq_vocab, (words, n_merges, batch)
+
+
+# ------------------------------------------- mixture threshold algebra
+
+_domain_st = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.tuples(st.integers(1, 10**9), st.integers(1, 1_000_000)),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_domain_st)
+@settings(max_examples=200, deadline=None)
+def test_mixture_thresholds_properties(domains):
+    """For ANY counts/weights: (1) no threshold exceeds the hash gate
+    (never upsamples); (2) at least one domain is the binding
+    constraint (maximality: its threshold is within one granularity
+    unit of the gate-exact expectation for the chosen epoch); (3) the
+    expected composition deviates from the ppm targets only by the
+    1/10000 hash-gate granularity; (4) exact agreement with a
+    fractions.Fraction re-derivation."""
+    from fractions import Fraction
+
+    from ionex_spark.operators.shards import mixture_thresholds
+
+    counts = {d: c for d, (c, _) in domains.items()}
+    weights = {d: w for d, (_, w) in domains.items()}
+    thr = mixture_thresholds(counts, weights)
+
+    # (4) independent exact re-derivation
+    c_exact = min(Fraction(counts[d] * 10**6, w) for d, w in weights.items())
+    c_floor = int(c_exact)
+    for d, w in weights.items():
+        assert thr[d] == int(
+            Fraction(10**4 * c_floor * w, 10**6 * counts[d])
+        )
+    # (1) never upsample
+    assert all(0 <= t <= 10_000 for t in thr.values())
+    # (3) composition within granularity: expected kept per domain is
+    # thr*count/1e4; target is c_floor*w/1e6; they differ < count/1e4
+    for d, w in weights.items():
+        expected_kept = Fraction(thr[d] * counts[d], 10**4)
+        target = Fraction(c_floor * w, 10**6)
+        assert abs(expected_kept - target) <= Fraction(counts[d], 10**4)
