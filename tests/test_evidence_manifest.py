@@ -375,6 +375,7 @@ EVIDENCE: dict[str, list[str]] = {
     "corpus_mixture_sample": [
         f"{T}/test_shards.py::test_mixture_thresholds_exact_arithmetic",
         f"{T}/test_shards.py::test_mixture_sample_matches_hashlib_reference",
+        f"{T}/test_properties.py::test_mixture_thresholds_properties",
     ],
     "contamination_safe_split": [
         "oracle",  # transitive closure + hash split re-done in SQL
