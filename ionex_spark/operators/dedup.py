@@ -95,6 +95,46 @@ def shingles_exploded(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def tokens_exploded_distinct(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, token) rows with per-doc DISTINCT tokens — the dedup done
+    IN-ROW (array_distinct before the explode) instead of a
+    dropDuplicates exchange: one less full-width (id, token) shuffle for
+    the same row set (guide §2.4; set-equality pinned in the round-7
+    profile and by the unchanged oracles)."""
+    from ionex_spark.operators.text import ws_norm_sql
+
+    return df.selectExpr(
+        id_col,
+        "explode(array_distinct(filter(split(lower("
+        f"{ws_norm_sql(text_col)}), ' '), x -> length(x) > 0))) as token",
+    )
+
+
+def shingles_exploded_distinct(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, token) rows with per-doc DISTINCT word n-gram shingles —
+    shingles_exploded's dropDuplicates folded into the row
+    (array_distinct before explode), saving the (id, token)-wide
+    exchange (guide §2.4)."""
+    joins = ", ' ', ".join(f"toks[i + {k}]" for k in range(n))
+    expr = (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(0, size(toks) - {n}), i -> concat({joins}))"
+        f" else array(concat_ws(' ', toks)) end"
+    )
+    from ionex_spark.operators.text import ws_norm_sql
+
+    return (
+        df.selectExpr(
+            id_col,
+            f"filter(split(lower({ws_norm_sql(text_col)}), ' '),"
+            " x -> length(x) > 0) as toks",
+        )
+        .selectExpr(id_col, f"explode(array_distinct({expr})) as token")
+    )
+
+
 def shingles_duckdb_sql(n: int = 3, distinct: bool = True) -> str:
     """DuckDB twin of shingles_exploded over `documents` (1-based lists).
     ``distinct=False`` keeps every occurrence (repetition statistics need
@@ -145,10 +185,16 @@ def minhash_signatures(
     One explode + one groupBy: all n min-aggregations share the single
     shuffle on id (map-side combine keeps it small).  The n hash
     functions are INDEPENDENT per-seed hashes — see the module note above
-    for why the cheaper double-hashing scheme was reverted."""
-    toks = shingles_exploded(df, id_col, text_col).dropDuplicates(
-        [id_col, "token"]
-    )
+    for why the cheaper double-hashing scheme was reverted.
+
+    No per-doc token dedup: min() is duplicate-insensitive, so the
+    signature over all occurrences equals the signature over the distinct
+    shingle set bit-for-bit, and skipping dropDuplicates removes a full
+    (id, token)-wide Exchange — the groupBy's map-side partial min leaves
+    only |docs| x n_hashes rows to shuffle (guide §2.3/§2.4).  Shingles
+    rarely repeat within a doc, so the extra per-occurrence hashing is
+    noise next to the removed shuffle."""
+    toks = shingles_exploded(df, id_col, text_col)
     aggs = [
         F.min(F.expr(token_hash_sql("token", j, backend))).alias(f"mh_{j}")
         for j in range(n_hashes)
@@ -189,6 +235,14 @@ def lsh_candidate_pairs(
         id_col,
         F.explode(F.array(*[F.expr(k) for k in keys])).alias("key"),
     )
+    # materialize the banded keys ONCE (eager localCheckpoint, the
+    # codebase's lineage-cut idiom): the self-join otherwise evaluates
+    # the whole shingle->minhash pipeline once per side — the round-7
+    # plan audit showed the signature subtree (scan+explode+8 hashes+
+    # aggregate) duplicated wholesale, 0 ReusedExchange (guide §2.4:
+    # remove shuffles/passes outright).  n_bands rows per doc, a few MB
+    # per million docs — negligible executor storage at any scale.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.withColumnRenamed(id_col, "id_a")
     b = bands.withColumnRenamed(id_col, "id_b")
     return (
@@ -213,16 +267,26 @@ def jaccard_verify(
     corpus, so only they are tokenized at all — the filter sits below the
     explode, which Catalyst cannot do automatically through a Generate.
     Per-doc shingle counts are unchanged, so jaccard values are
-    identical."""
+    identical.
+
+    Round-7 shape changes (all output-identical, guide §2.4):
+    - ``pairs`` is materialized ONCE (eager localCheckpoint): it feeds
+      three consumers (both sides of the id union + the intersection
+      join) — without the cut each re-evaluates the whole LSH candidate
+      pipeline from the parquet scan (the round-start plan audit showed
+      44 scans of `documents` in ONE query, 0 ReusedExchange).  It is
+      small by construction (|candidates| rows).
+    - no .distinct() on the semi-join's id list: LEFT SEMI ignores
+      right-side duplicates, the distinct was a pure extra exchange.
+    - per-doc shingle dedup runs IN-ROW (shingles_exploded_distinct)
+      instead of a dropDuplicates exchange."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
     )
     docs_c = df.select(id_col, text_col).join(cand_ids, id_col, "left_semi")
-    toks = shingles_exploded(docs_c, id_col, text_col).dropDuplicates(
-        [id_col, "token"]
-    )
+    toks = shingles_exploded_distinct(docs_c, id_col, text_col)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = toks.withColumnRenamed(id_col, "id_a")
     tb = toks.withColumnRenamed(id_col, "id_b")
@@ -269,6 +333,11 @@ def connected_components(
     small-star variant (same join primitive, O(log n) rounds).  Each
     round is ONE shuffle (groupBy node); lineage is cut per round with
     localCheckpoint so the plan stays flat."""
+    # cut the pair pipeline's lineage BEFORE the symmetric union: the
+    # union's two branches otherwise each re-evaluate the full verified-
+    # pair pipeline (LSH candidates + jaccard verify) from the scan
+    # (guide §2.4 — one pass, not two)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     sym = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
         pairs.selectExpr("id_b as src", "id_a as dst")
     )
@@ -561,10 +630,15 @@ def simhash64(
     The band representation is the useful one at scale: candidate pairs
     join on ANY equal band (standard 4-band/16-bit simhash blocking:
     hamming distance <= 3 over the 64 bits guarantees at least one equal
-    band), and hamming distance = sum of per-band XOR popcounts."""
-    toks = tokens_exploded(df, id_col, text_col).dropDuplicates(
-        [id_col, "token"]
-    )
+    band), and hamming distance = sum of per-band XOR popcounts.
+
+    Per-doc token dedup runs IN-ROW (array_distinct before the explode,
+    tokens_exploded_distinct) instead of a dropDuplicates exchange: the
+    +/-1 sums see the same distinct token set, so bands are bit-identical
+    while one full (id, token) shuffle disappears — the 64 sum
+    aggregates' map-side partials then ride the single groupBy(id)
+    exchange (guide §2.3/§2.4; measured 1.31 s -> 0.88 s at sf0.1)."""
+    toks = tokens_exploded_distinct(df, id_col, text_col)
     toks = toks.withColumns(
         {
             f"h{b}": F.expr(token_hash_sql("token", b, backend))
@@ -745,6 +819,13 @@ def hamming_pairs_from_sig(
             "blocked candidate generation is only complete for"
             f" max_hamming <= 3; got {max_hamming}"
         )
+    # materialize the signature table ONCE (eager localCheckpoint): it
+    # feeds three consumers (both candidate-join sides via the band
+    # explode + the two verify sides), each of which otherwise
+    # re-evaluates the whole tokenize+4-hash+64-sum signature pipeline
+    # from the scan (round-7 plan audit: the subtree appeared 3x, 0
+    # ReusedExchange; guide §2.4).  |docs| x 5 columns — tiny.
+    sig = sig.localCheckpoint(eager=True)
     if scheme == "refined":
         cand = simhash_candidate_pairs_refined(sig, id_col)
     else:
@@ -798,9 +879,17 @@ def containment_pairs(
     still count ALL shingles, so capping can only LOWER containment
     (never a false positive); the default None is exact and right for
     bench/gate scale."""
-    sh = shingles_exploded(docs, id_col, text_col, n=n).dropDuplicates(
-        [id_col, "token"]
-    )
+    # distinct per-doc shingles: dedup IN-ROW (array_distinct before the
+    # explode — one less full-width exchange, guide §2.4), then
+    # materialized ONCE (eager localCheckpoint): they feed the size
+    # counts plus BOTH sides of the inverted-index self-join (and the
+    # df-cap window) — without the cut each consumer re-tokenizes the
+    # corpus from the scan.  Size = distinct shingles, the same order of
+    # magnitude as the corpus tokens; at 100 TB this is the operator's
+    # working set either way.
+    sh = shingles_exploded_distinct(
+        docs, id_col, text_col, n=n
+    ).localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         from pyspark.sql.window import Window
@@ -810,6 +899,9 @@ def containment_pairs(
             sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
+            # the capped index also feeds both self-join sides: cut once
+            # more so the df window runs a single time
+            .localCheckpoint(eager=True)
         )
     a = sh.selectExpr(f"{id_col} as id_a", "token")
     b = sh.selectExpr(f"{id_col} as id_b", "token")

@@ -223,7 +223,18 @@ def knn_points(
     probe = q.select(
         "*", F.explode(F.expr(offs)).alias("o")
     ).selectExpr("*", "qcx + o.di as cx", "qcy + o.dj as cy").drop("o")
-    topk = rank_topk(probe.join(c, ["cx", "cy"]))
+    # the ranked candidate frame (<= k rows/query) feeds the certificate
+    # AND the exact semi-join — materialize it ONCE (eager
+    # localCheckpoint) so the ring join + window run a single time
+    # instead of per consumer (round-7 plan audit: 16 parquet scans in
+    # one knn_points plan, 0 ReusedExchange; guide §2.4).  Checkpointing
+    # MORE than this (inputs, certificate ids) measured slower — those
+    # subtrees are narrow and their duplicated evaluation runs in
+    # parallel, while every extra eager checkpoint is a serial barrier
+    # (measured 1.20 s with 4 checkpoints vs 0.99 s with this one).
+    topk = rank_topk(probe.join(c, ["cx", "cy"])).localCheckpoint(
+        eager=True
+    )
 
     cert = topk.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_cand"),

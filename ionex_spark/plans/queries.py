@@ -70,18 +70,16 @@ _HISTORY_PATH = os.path.join(os.path.dirname(__file__), "gate_history.json")
 DEEP_EVIDENCE = 3
 
 
-def build_history(repo_root: str) -> dict:
-    """Derive the gate history from the driver's CORRECTNESS_r*.json files.
-
-    A query's entry lists every round with a fully green driver row
-    (rows + schema + hash match).  The registry never self-certifies —
-    this reads only driver-written evidence."""
+def _green_rounds(repo_root: str, pattern: str) -> tuple[int, dict[str, list[int]]]:
+    """(latest_round, {query: [green rounds]}) from files matching
+    ``pattern`` (rNN-numbered JSONs of {name: {rows_match, hash_match,
+    schema_match, ...}} rows)."""
     import glob
     import re
 
     rounds: dict[str, list[int]] = {}
     latest = 0
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo_root, pattern))):
         m = re.search(r"r(\d+)\.json$", path)
         if not m:
             continue
@@ -97,9 +95,33 @@ def build_history(repo_root: str) -> dict:
             )
             if green:
                 rounds.setdefault(name, []).append(rnd)
+    return latest, {k: sorted(v) for k, v in sorted(rounds.items())}
+
+
+def build_history(repo_root: str) -> dict:
+    """Derive the gate history from the evidence JSONs on disk.
+
+    Two independent sources (round-6 verdict task #1 — the 115-query
+    registry arithmetically outgrew the driver's 50-entry gate window, so
+    rotation needs a second, compensating evidence channel):
+
+    - ``rounds``: the DRIVER's CORRECTNESS_r*.json files — a query's
+      entry lists every round with a fully green driver row (rows +
+      schema + hash match).  The registry never self-certifies here.
+    - ``builder_rounds``: committed BUILDER-run full-registry oracle
+      reports (ORACLE_REPORT_r*.json, written by
+      tools/gen_oracle_report.py which replays the driver's gate check —
+      same row shape — over EVERY registered query at sf0.01).  These
+      keep the staleness invariant satisfiable for queries the window
+      cannot reach this round; the window ordering itself still rotates
+      on driver evidence only, so driver rows stay the preferred
+      evidence and every query keeps cycling through the hard gate."""
+    latest, rounds = _green_rounds(repo_root, "CORRECTNESS_r*.json")
+    _, builder = _green_rounds(repo_root, "ORACLE_REPORT_r*.json")
     return {
         "latest_round": latest,
-        "rounds": {k: sorted(v) for k, v in sorted(rounds.items())},
+        "rounds": rounds,
+        "builder_rounds": builder,
     }
 
 
@@ -155,6 +177,17 @@ def last_driver_round(name: str, hist: dict | None = None) -> int:
     return rounds[-1] if rounds else 0
 
 
+def last_evidence_round(name: str, hist: dict | None = None) -> int:
+    """Newest round with ANY fully green independent evidence for `name`:
+    a driver CORRECTNESS row or a committed builder-run full-registry
+    oracle report row (0 = never).  The staleness invariant runs on this;
+    window ORDERING stays driver-only (last_driver_round) so builder
+    reports never displace a query's turn at the hard gate."""
+    h = hist if hist is not None else gate_history()
+    b = h.get("builder_rounds", {}).get(name)
+    return max(last_driver_round(name, h), b[-1] if b else 0)
+
+
 def evidence_depth(name: str, hist: dict | None = None) -> int:
     """Number of distinct rounds with a green driver row for `name`."""
     h = hist if hist is not None else gate_history()
@@ -205,6 +238,30 @@ def _t(sf_dir: str, table: str) -> str:
     return f"{sf_dir}/{table}.parquet"
 
 
+def read_split(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that guarantees per-row compute can use every core.
+
+    The driver's test tables are ONE parquet file with ONE row group, so
+    a plain scan is a single task no matter the cluster size — and the
+    engine evaluates its per-row-expensive expressions (8-seed md5
+    minhash, tokenization, embedding folds) below the first exchange,
+    i.e. on one core of 32 (round-7 measurement: the minhash signature
+    stage alone was ~2.1 s single-task vs ~0.2 s spread).  Guide §2.5
+    names the fix: "input skew: one huge unsplittable file ...
+    repartition immediately after the read".
+
+    Scale-adaptive, not a local[32] constant: when the scan already
+    yields at least the session's default parallelism in splits (any
+    production-sized table), this is a NO-OP — no extra exchange.  The
+    explicit partition count pins the round-robin exchange against AQE
+    re-coalescing it back to one partition (tiny-bytes advisory)."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------ point synthesis
 
 _PTS_COLS = {
@@ -223,7 +280,7 @@ _PTS_SQL = (
 
 
 def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(_t(sf_dir, "events")).select("event_id")
+    df = read_split(spark, _t(sf_dir, "events")).select("event_id")
     return df.selectExpr(
         *[f"{expr} as {name}" for name, expr in _PTS_COLS.items()]
     )

@@ -14,7 +14,7 @@ from ionex_spark.operators import dedup as dd
 from ionex_spark.operators import similarity as sim
 from ionex_spark.operators import text as tx
 from ionex_spark.functions import sqlgen
-from ionex_spark.plans.queries import ORACLES, register
+from ionex_spark.plans.queries import ORACLES, read_split, register
 
 N_MINHASH = 8
 BAND = 2
@@ -35,7 +35,7 @@ GROUP BY 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.exact_dedup(docs)
 
 
@@ -68,12 +68,12 @@ _DUCK_BANDS = "SELECT doc_id, band, key FROM (" + " UNION ALL ".join(
 # stays under the gate and exercises this exact code as its first stage)
 @register(
     "dedup_minhash",
-    priority=10,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"WITH mh AS ({_DUCK_MINHASH}) SELECT * FROM mh",
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minhash signatures (md5 backend) — the LSH building block."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.minhash_signatures(docs, N_MINHASH, backend="md5")
 
 
@@ -105,11 +105,11 @@ WHERE cast(i.n_inter as double) / cast(sa.sz + sb.sz - i.n_inter as double)
 """
 
 
-@register("dedup_minhash_pairs", oracle=_DUCK_PAIRS_SQL)
+@register("dedup_minhash_pairs", oracle=_DUCK_PAIRS_SQL, priority=100)  # r7: plan restructured
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH bands -> candidate pairs ->
     exact jaccard verify >= 0.5."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     sigs = dd.minhash_signatures(docs, N_MINHASH, backend="md5")
     pairs = dd.lsh_candidate_pairs(sigs, N_MINHASH, BAND)
     return dd.jaccard_verify(pairs, docs, threshold=0.5)
@@ -134,14 +134,14 @@ FROM r GROUP BY src
 
 # priority 10: min-label CC variant; dedup_groups_star (the O(log n)
 # 100 TB default) stays gated and shares this oracle
-@register("dedup_groups", oracle=_DUCK_GROUPS_SQL, priority=10)
+@register("dedup_groups", oracle=_DUCK_GROUPS_SQL, priority=100)  # r7: plan restructured (see NEW_THIS_ROUND)
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment — the step after pair detection a real
     pipeline needs: connected components over the verified near-dup pair
     graph (iterative min-label propagation), every doc labeled with its
     canonical representative (min reachable id).  Oracle: DuckDB
     recursive-CTE transitive closure."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     # the pair pipeline IS dedup_minhash_pairs — one definition, so the
     # Spark side can never drift from the shared _DUCK_PAIRS_SQL oracle
     pairs = dedup_minhash_pairs(spark, sf_dir)
@@ -154,7 +154,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shares dedup_groups' recursive-CTE oracle: any divergence between the
 # two CC algorithms fails the gate
-@register("dedup_groups_star", oracle=_DUCK_GROUPS_SQL)
+@register("dedup_groups_star", oracle=_DUCK_GROUPS_SQL, priority=100)  # r7: plan restructured
 def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_groups through the O(log n) LARGE-STAR/SMALL-STAR contraction
     (dedup.connected_components_star) instead of min-label propagation —
@@ -162,7 +162,7 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, logarithmic rounds.  Shares dedup_groups' recursive-CTE
     oracle, so any divergence between the two CC algorithms fails the
     gate."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup_minhash_pairs(spark, sf_dir)
     groups = dd.connected_components_star(docs.select("doc_id"), pairs)
     return groups.selectExpr(
@@ -203,9 +203,9 @@ _DUCK_SIMHASH_SIG = _duck_simhash_sig()
 
 
 # priority 10: signature-only building block of dedup_simhash_pairs
-@register("dedup_simhash", oracle=_DUCK_SIMHASH_SIG, priority=10)
+@register("dedup_simhash", oracle=_DUCK_SIMHASH_SIG, priority=100)  # r7: plan restructured (see NEW_THIS_ROUND)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.simhash64(docs, backend="md5")
 
 
@@ -237,7 +237,7 @@ WHERE bit_count(xor(sa.band_0, sb.band_0))
 """
 
 
-@register("dedup_simhash_pairs", oracle=_DUCK_SIMHASH_PAIRS, priority=50)
+@register("dedup_simhash_pairs", oracle=_DUCK_SIMHASH_PAIRS, priority=100)  # r7: plan restructured (see NEW_THIS_ROUND)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end simhash near-dup pipeline through the documented
     100 TB-default candidate stage: 64-bit signature -> C(6,3) Manku
@@ -246,7 +246,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> XOR-popcount hamming<=3 verify.  Round-4 swap (r3 verdict task
     #5): the gate's primary row now exercises the refined scheme; the
     4x16-bit band scheme stays registered as the parity query below."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.simhash_near_dup_pairs(
         docs, max_hamming=3, backend="md5", scheme="refined"
     )
@@ -256,13 +256,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IDENTICAL verified pair set — any complete candidate superset does, the
 # hamming filter is exact — so it shares dedup_simhash_pairs' oracle; a
 # drift between the two schemes shows up as a gate hash-mismatch here.
-@register("dedup_simhash_pairs_bands", oracle=_DUCK_SIMHASH_PAIRS, priority=50)
+@register("dedup_simhash_pairs_bands", oracle=_DUCK_SIMHASH_PAIRS, priority=100)  # r7: plan restructured (see NEW_THIS_ROUND)
 def dedup_simhash_pairs_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_simhash_pairs through the 4x16-bit BAND candidate stage
     (hamming<=3 pigeonhole blocking) — simpler than the Manku scheme and
     fine until band buckets go quadratic at 10^10+ docs.  Same verified
     output as the refined default."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.simhash_near_dup_pairs(docs, max_hamming=3, backend="md5")
 
 
@@ -285,7 +285,7 @@ FROM documents
 """,
 )
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     out = tx.with_text_features(docs)
     return out.selectExpr(
         "doc_id", "cast(n_tokens as bigint) as n_tokens",
@@ -305,7 +305,7 @@ GROUP BY 1, 2
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion counts of the n-gram-marker language id vs the labeled
     lang column — doubles as an accuracy fixture."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("lang_pred", F.expr(tx.lang_id_sql("lower(text)")))
         .groupBy("lang", "lang_pred")
@@ -354,7 +354,7 @@ SELECT query_id, rank, vec_id, cos_sim FROM (
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 — ANN baseline (dot product as a JVM
     higher-order fold; bit-identical to DuckDB's list_aggregate sum)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
     out = sim.brute_force_topk(emb, queries, k=5)
     return out.selectExpr(
@@ -408,7 +408,7 @@ SELECT query_id, rank, vec_id, bucket, cos_sim FROM (
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: deterministic integer hyperplanes, sign-bit
     bucket, cosine ranking within bucket only — the 100 TB scale path."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
     out = sim.lsh_bucket_topk(
         emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM
@@ -458,7 +458,7 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     — recovers the recall single-bucket LSH loses as n_planes grows.
     Recall vs the similarity_topk ground truth is asserted to beat the
     single-bucket variant in tests/test_spark_ops.py."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
     out = sim.lsh_bucket_topk(
         emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM, multiprobe=True
@@ -490,7 +490,7 @@ WHERE cos_sim >= cast(0.35 as double)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify
     (the dedup brief's embedding-cosine near-dup operator)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     # 0.35 picked against the synthetic embeddings' in-bucket cosine
     # distribution (max ~0.47) so the verify stage has real work to do
     out = sim.embedding_near_dup_pairs(
@@ -546,7 +546,7 @@ SELECT query_id, rank, vec_id, list_id, cos_sim FROM (
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: nearest-centroid list assignment + nprobe=2 probe —
     the brief's 'IVF variant as the scale path'."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter("vec_id % 50 = 0")
     queries = emb.filter("vec_id % 100 = 0")
     lists = sim.ivf_assign(emb, centroids)
@@ -591,7 +591,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding corpus
     (similarity.quantize_int8): scale + position-weighted code checksum +
     reconstruction error, bit-exact across engines."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     out = sim.quantize_int8(emb)
     return out.select(
         "vec_id", "scale", "q_sum", "q_dot_idx", "max_abs_err"
@@ -611,7 +611,7 @@ def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-memory similarity_ivf exactly (shared oracle)."""
     from ionex_spark.sources import bucketed
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter("vec_id % 50 = 0")
     queries = emb.filter("vec_id % 100 = 0")
     lists = sim.ivf_assign(emb, centroids)
@@ -653,7 +653,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace runs, lowercase, trim — pure JVM regexp expressions (the
     ingest-side cleaner of a web-scale corpus; tags synthesized around
     the documents so the strip does real work)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     # coalesce: Spark concat is NULL-strict while DuckDB concat skips
     # NULLs — a NULL text would silently diverge the two engines
     raw = docs.selectExpr(
@@ -694,7 +694,7 @@ def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy shuffle; the final top-k is a tiny sorted limit."""
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     toks = dd.tokens_exploded(docs).dropDuplicates(["doc_id", "token"])
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq")
@@ -764,7 +764,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subtrees unify)."""
     from pyspark.sql.window import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
     toks = dd.tokens_exploded(docs).repartition(F.col("doc_id"))
     tf = toks.groupBy("doc_id", "token").agg(
@@ -833,7 +833,7 @@ def domain_blocklist_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist is a small curated table — never shuffle the corpus against
     it), and roll up per-domain document counts.  URLs are synthesized
     deterministically from doc_id so both engines see identical input."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     urls = docs.selectExpr(
         "doc_id",
         f"concat('https://', {_DOMAIN}, '/p/', cast(doc_id as string))"
@@ -902,7 +902,7 @@ def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_count) is asserted in pytest."""
     from ionex_spark.operators import sketch as sk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     toks = dd.tokens_exploded(docs)  # occurrences, not deduped
     cms = sk.countmin_sketch(toks, depth=4, width=256)
     counts = toks.groupBy("token").agg(
@@ -935,7 +935,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language rebalancing sample (md5-hash gate, no
     rand(): reproducible across engines and reruns) — the corpus
     rebalancing step of a training-data pipeline."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     out = tx.stratified_sample(docs, "lang", _SAMPLE_FRACS)
     return out.select("doc_id", "lang")
 
@@ -966,7 +966,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, assign docs to 512-token sequences by running token count —
     one window shuffle, parallel across shards (Megatron-style
     sequential fill)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+    docs = read_split(spark, f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id", f"{tx.token_count_sql('text')} as n_tokens"
     )
     out = tx.pack_sequences(
@@ -1003,7 +1003,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is an already-oracled fragment (text.py), composed in one
     narrow scan — Catalyst collapses the whole thing into a single
     WholeStageCodegen filter over the parquet scan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     feats = tx.with_text_features(docs)
     kept = feats.filter(tx.QUALITY_FILTER_SQL)
     return kept.groupBy("lang").agg(
@@ -1091,7 +1091,7 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace tokens via replace-length arithmetic, subword-ish tokens via
     a regex that splits alpha runs / digit runs / punctuation (same
     semantics in Java regex and RE2)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return docs.selectExpr(
         "doc_id",
         f"cast(size(regexp_extract_all(text, '{_BPE_PAT}', 0)) as bigint)"
@@ -1115,7 +1115,7 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting via a polynomial ROLLING HASH over the
     document head (the brief's 'document fingerprinting (rolling hash)'),
     alongside the md5 fingerprint."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return docs.selectExpr(
         "doc_id",
         f"cast({tx.rolling_hash_sql('substr(text, 1, 128)', 'spark')}"
@@ -1193,7 +1193,7 @@ WHERE {ham} <= 3
 """
 
 
-@register("streaming_neardup_batch", oracle=_ndb_oracle(), priority=50)
+@register("streaming_neardup_batch", oracle=_ndb_oracle(), priority=100)  # r7: plan restructured
 def streaming_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH TWIN of streaming_near_dup_alerts: incoming signatures
     (synthesized from event ids; 1 in 10 is a planted hamming-1 near-dup
@@ -1210,7 +1210,7 @@ def streaming_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"{_ndb_corpus_band(b)} as band_{b}" for b in range(4)],
     ).selectExpr("corpus_id as doc_id", "band_0", "band_1", "band_2", "band_3")
     stream = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        read_split(spark, f"{sf_dir}/events.parquet")
         .selectExpr("event_id as sid")
         .selectExpr(
             "sid as doc_id",
@@ -1250,7 +1250,7 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row oracle-exact where batch dropDuplicates would not be."""
     from pyspark.sql.window import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "event_id", "user_id", "event_type", "unix_timestamp(ts) as tsec"
     )
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -1292,7 +1292,7 @@ def decontam_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles for the join; only the per-doc rollup exchanges."""
     from ionex_spark.operators.decontam import contamination_hits
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     bench = docs.filter("doc_id % 97 = 0").selectExpr(
         "doc_id as bench_id", "text"
     )
@@ -1321,7 +1321,7 @@ def repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine-generated spam and boilerplate (operators/text.
     repetition_stats).  Complements the length/punct/stopword scores in
     text_features with a structural redundancy signal."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return tx.repetition_stats(docs, n=2)
 
 
@@ -1360,7 +1360,7 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_spark_ops.py."""
     from ionex_spark.operators.sketch import kmv_distinct
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
 
 
@@ -1408,7 +1408,7 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_tableio_streaming.py."""
     from ionex_spark.operators.cdc import snapshot_diff
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     old = ev.filter("event_id % 5 != 0").select("event_id", "value")
     new = ev.filter("event_id % 7 != 0").selectExpr(
         "event_id",
@@ -1450,7 +1450,7 @@ def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_groups completes the minhash one.  Pairs come from the SAME
     registered embedding_near_dups plan, so this row also cross-checks
     that query against the recursive-CTE transitive closure."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_dups(spark, sf_dir)
     groups = dd.connected_components_star(
         emb.selectExpr("vec_id as doc_id"), pairs
@@ -1506,7 +1506,7 @@ def token_drift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     T_new) is recoverable downstream.  One token rollup per side + a
     full-outer merge on the (uniform) token key; top-k via
     TakeOrderedAndProject."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     t = dd.tokens_exploded(docs)
     a = t.filter("doc_id % 2 = 0").groupBy("token").agg(
         F.count(F.lit(1)).alias("c_old")
@@ -1560,7 +1560,7 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering step of quality-staged training-data curricula.  ntile is
     SQL-standard (first n%k buckets take the extra row) so the bucket
     boundaries are bit-identical across engines; one window exchange."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     f = docs.selectExpr(
         "doc_id",
         f"cast({tx.token_count_sql('text')} as bigint) as n_tokens",
@@ -1616,7 +1616,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heaps-law sublinear), not the corpus; at 100 TB the word rollup is
     the only corpus-sized exchange and every BPE merge iteration after
     this reuses the same vocabulary table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     w = (
         dd.tokens_exploded(docs)
         .filter("length(token) > 1")
@@ -1679,7 +1679,7 @@ def bloom_filter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = (
         dd.tokens_exploded(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            read_split(spark, f"{sf_dir}/documents.parquet").filter(
                 "doc_id % 2 = 0"
             )
         )
@@ -1741,7 +1741,7 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).  The oracle recomputes the same union from raw events,
     so a wrong id mapping (dropped rows, mis-bound columns, non-null
     ghosts) breaks the bit-exact hash."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     t = _scratch_table("ionex_evo_")
     t.append(ev.filter("event_id % 2 = 0").select("event_id", "value"))
     t.evolve_schema(add_columns={"w": "double"}, renames={"value": "val"})
@@ -1788,7 +1788,7 @@ def compacted_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events directly: compaction must be a pure layout change — any
     lost/duplicated/reordered-into-wrongness row breaks bit-exactness.
     Pre-compaction snapshots remain time-travelable (pytest-pinned)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "event_type", "value"
     )
     t = _scratch_table("ionex_compact_")
@@ -1847,7 +1847,7 @@ def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of row count (the 100 TB property)."""
     from ionex_spark.operators import sketch as sk
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").select(
         "event_type", "value"
     )
     bins = sk.histogram_bins(ev, ["event_type"], "value", 0.25)
@@ -1887,7 +1887,7 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper than minhash; narrow string ops + one rollup shuffle).
     Synthetic URLs derive from doc_id with scheme/case/www/query/slash
     variants that must all collapse."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+    docs = read_split(spark, f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id",
         _URL_SYNTH.replace("AS VARCHAR", "AS STRING") + " as url",
     )
@@ -1944,7 +1944,7 @@ def tile_representative_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_id; ids/scores bounded so the packing is exact."""
     from ionex_spark.operators import tiles
 
-    imgs = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    imgs = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "event_id",
         f"{sqlgen.cell_id_sql(sqlgen.lat_from_id_sql('event_id'), sqlgen.lon_from_id_sql('event_id'), 4)} as tile",
         "(event_id * 2654435761) % 2147483647 as phash",
@@ -2007,7 +2007,7 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the edge count."""
     from ionex_spark.operators.graph import pagerank_int
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     nodes = docs.selectExpr("doc_id % 500 as node").distinct()
     edges = docs.selectExpr(
         "doc_id % 500 as src", "(doc_id * 7919) % 500 as dst"
@@ -2045,7 +2045,7 @@ WHERE containment_ab >= CAST(0.6 AS DOUBLE)
 """
 
 
-@register("dedup_containment_pairs", oracle=_DUCK_CONTAINMENT, priority=50)
+@register("dedup_containment_pairs", oracle=_DUCK_CONTAINMENT, priority=100)  # r7: plan restructured (see NEW_THIS_ROUND)
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup detection via shingle CONTAINMENT (Broder):
     c(A->B) = |S(A) & S(B)| / |S(A)| — the sub-document-duplication
@@ -2054,7 +2054,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the shingle inverted-index join (never all-pairs;
     operators/dedup.containment_pairs); pairs where either direction
     reaches 0.6 survive."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.containment_pairs(docs, n=3, min_containment=0.6)
 
 
@@ -2071,7 +2071,7 @@ _MIX_W_VALUES = ", ".join(
 
 @register(
     "corpus_mixture_sample",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH counts AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
@@ -2102,7 +2102,7 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit while being sf-independent."""
     from ionex_spark.operators import shards as sh
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     out = sh.corpus_mixture_sample(docs, "lang", _MIX_WEIGHTS)
     return out.select("doc_id", "lang", "source", "n_chars")
 
@@ -2112,7 +2112,7 @@ _SHARD_TARGET = 64
 
 @register(
     "shard_manifest_rollup",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, text, n_chars,
@@ -2147,7 +2147,7 @@ def shard_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests."""
     from ionex_spark.operators import shards as sh
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     assigned = sh.shard_assign(docs, _SHARD_TARGET)
     return sh.shard_manifest(assigned, bytes_col="n_chars")
 
@@ -2187,7 +2187,7 @@ WHERE containment_ab >= CAST(0.6 AS DOUBLE)
 @register(
     "dedup_containment_capped",
     oracle=_DUCK_CONTAINMENT_CAPPED,
-    priority=100,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
 )
 def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-CAPPED containment twin (round-5 verdict task #4): hot
@@ -2200,7 +2200,7 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle applies the same df-filter CTE; the sf0.01 table has 151
     shingles above df=4, so the cap genuinely changes the index here,
     not just in theory."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return dd.containment_pairs(
         docs, n=3, min_containment=0.6, max_doc_freq=_CONTAIN_CAP
     )
@@ -2233,7 +2233,7 @@ def _patch_base_values() -> str:
 
 @register(
     "patch_extract_stats",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH b(i, c, base, w, h) AS (VALUES {_patch_base_values()}),
 px AS (
@@ -2285,7 +2285,7 @@ def patch_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_histogram_batch",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle="""
 SELECT event_type,
        CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS wslot,
@@ -2306,7 +2306,7 @@ def streaming_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver-oracled gate."""
     from ionex_spark.operators import sketch as sk
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "event_type",
         "cast(floor(unix_timestamp(ts) / 3600) as bigint) as wslot",
         "value",
@@ -2316,7 +2316,7 @@ def streaming_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "domain_pagerank_dangling",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH RECURSIVE
 nd AS (SELECT DISTINCT doc_id % 500 AS node FROM documents),
@@ -2368,7 +2368,7 @@ def domain_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture)."""
     from ionex_spark.operators.graph import pagerank_int
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     nodes = docs.selectExpr("doc_id % 500 as node").distinct()
     edges = docs.selectExpr(
         "doc_id % 500 as src", "(doc_id * 7919) % 500 as dst"
@@ -2386,7 +2386,7 @@ _SHARD_BYTES_TARGET = 4096
 
 @register(
     "shard_bytes_manifest",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH ranked AS (
   SELECT doc_id, text, n_chars,
@@ -2416,7 +2416,7 @@ def shard_bytes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (per-bucket byte subtotals -> exact global running sum).  The
     oracle replays the same greedy fill with one global window —
     different plan shape, bit-identical manifests."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     assigned = _sh.shard_assign_bytes(docs, _SHARD_BYTES_TARGET)
     return _sh.shard_manifest(assigned, bytes_col="n_chars").select(
         "shard_id", "n_rows", "n_bytes", "content_hash"
@@ -2428,7 +2428,7 @@ _REP_M = 1 << 41  # dedup.REP_PACK_BITS
 
 @register(
     "dedup_group_representatives",
-    priority=100,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"""
 WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
 edges AS (
@@ -2468,10 +2468,17 @@ def dedup_group_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) instead of the arbitrary min-id.  The argmax is the packed-
     bigint trick (one map-side-combining shuffle, no window sort —
     dedup.group_representatives); the oracle recomputes the transitive
-    closure AND the packed argmax in SQL."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    closure AND the packed argmax in SQL.
+
+    Round 7: components come from the SCALE-ADAPTIVE star variant (the
+    codebase's documented 100 TB default — local union-find in one task
+    under the edge threshold, O(log n) star contraction above) instead
+    of iterative min-label propagation: identical groups (component
+    minima — the two algorithms share dedup_groups' oracle), a fraction
+    of the job rounds (guide §1.2: fix the distributed algorithm first)."""
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    members = dd.connected_components(docs.select("doc_id"), pairs)
+    members = dd.connected_components_star(docs.select("doc_id"), pairs)
     scored = docs.selectExpr(
         "doc_id",
         f"cast(floor({tx.quality_score_sql('text')}"
@@ -2536,7 +2543,7 @@ FROM member m LEFT JOIN corpus c ON c.chash = m.chash
 
 @register(
     "incremental_dedup_bloom",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=_duck_incremental_bloom(),
 )
 def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,7 +2556,7 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bloom_candidate (including any false positives, which are part
     of the deterministic md5 construction) AND the exact is_dup truth
     must both match bit-for-bit."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     inc = docs.filter("doc_id % 5 = 0").selectExpr(
         "doc_id + 100000 as doc_id", "text"
     ).unionByName(
@@ -2579,7 +2586,7 @@ _CURR_W_VALUES = ", ".join(
 
 @register(
     "mixture_quality_curriculum",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH strat AS (
   SELECT doc_id, lang, n_chars,
@@ -2615,7 +2622,7 @@ def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate in SQL end-to-end."""
     from ionex_spark.operators import shards as sh_ops
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     strat = docs.withColumn(
         "stratum",
         F.expr(_CURR_STRATUM.format(q=tx.quality_score_sql("text"))),
@@ -2626,7 +2633,7 @@ def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "patch_pack_sequences",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH imgs AS (
   SELECT printf('img%012d', g.range) AS image_id,
@@ -2688,7 +2695,7 @@ def patch_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_sample_topk",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 SELECT doc_id, lang, sample_rank FROM (
   SELECT doc_id, lang,
@@ -2706,7 +2713,7 @@ def group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling hash inside each language, keep the first 5 — stable
     under reruns, engine swaps, and growth of OTHER groups (the rank
     depends only on the group's own members)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = read_split(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang"
     )
     out = tx.sample_topk_per_group(docs, "lang", k=5)
@@ -2723,7 +2730,7 @@ _BP_MIN_DOCS = 4
 
 @register(
     "boilerplate_ngram_stats",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle=f"""
 WITH sh AS ({dd.shingles_duckdb_sql(_BP_N, distinct=True)}),
 dfreq AS (SELECT token, count(*) AS df FROM sh GROUP BY 1)
@@ -2744,7 +2751,7 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide, which within-doc repetition (repetition_ngrams) and
     pairwise containment both miss.  Two map-side-combining shuffles
     keyed on the shingle; never pairwise."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     return tx.boilerplate_ngram_stats(
         docs, n=_BP_N, min_docs=_BP_MIN_DOCS
     )
@@ -2752,7 +2759,7 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_label_centroids",
-    priority=100,
+    priority=50,  # demoted: green driver-r6 row landed (rotation discipline)
     oracle="""
 WITH pairs AS (
   SELECT label,
@@ -2775,13 +2782,13 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.embedding_group_stats) — the per-domain drift monitor
     for embedding-space distribution shifts between crawls; integer
     sums make an iterative-float-family aggregate bit-oracle-able."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
     return sim.embedding_group_stats(emb, group_col="label")
 
 
 @register(
     "contamination_safe_split",
-    priority=100,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"""
 WITH RECURSIVE pairs AS ({_DUCK_PAIRS_SQL}),
 edges AS (
@@ -2809,8 +2816,12 @@ def contamination_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate of an eval doc — the contamination a doc-level
     random split commits whenever dup pairs exist
     (dedup.contamination_safe_split; property test proves zero minhash
-    pairs cross splits)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs cross splits).
+
+    Round 7: components via the scale-adaptive star variant (see
+    dedup_group_representatives — identical groups, shared-oracle-
+    proven, far fewer rounds than min-label propagation)."""
+    docs = read_split(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup_minhash_pairs(spark, sf_dir)
-    members = dd.connected_components(docs.select("doc_id"), pairs)
+    members = dd.connected_components_star(docs.select("doc_id"), pairs)
     return dd.contamination_safe_split(members)

@@ -12,7 +12,7 @@ from pyspark.sql.window import Window
 
 from ionex_spark.functions import sqlgen
 from ionex_spark.functions.sqlgen import GRID, D
-from ionex_spark.plans.queries import register, event_points, _PTS_SQL
+from ionex_spark.plans.queries import register, event_points, read_split, _PTS_SQL
 
 
 # ----------------------------------------------------- epoch aggregations
@@ -116,7 +116,7 @@ def filename_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IGS filename parse `AAAR DDD0.YYI[.gz]` -> attributes
     (FileAttributes::from_str, src/file_attributes.rs:115-155) as
     regexp_extract over a generated filename column."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ev = read_split(spark, f"{sf_dir}/events.parquet").select("event_id")
     f = ev.selectExpr("event_id", f"{_FNAME} as fname")
     return f.selectExpr(
         "event_id",
@@ -243,7 +243,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, so money columns are summed as DECIMAL (exact,
     associative) and cast to double at the end — the engine's standard
     recipe for reproducible aggregates."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_split(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter("l_shipdate <= timestamp '1998-09-01 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
@@ -273,8 +273,8 @@ GROUP BY c.c_mktsegment
 )
 def join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dimension join + rollup (customer is the small side)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = read_split(spark, f"{sf_dir}/orders.parquet")
+    c = read_split(spark, f"{sf_dir}/customer.parquet")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -301,10 +301,10 @@ def bucketed_join_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed.purge_session_tables(spark, "gate_bucketed_", suffix)
     t_orders = f"gate_bucketed_orders_{suffix}"
     t_customer = f"gate_bucketed_customer_{suffix}"
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    o = read_split(spark, f"{sf_dir}/orders.parquet").select(
         "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+    c = read_split(spark, f"{sf_dir}/customer.parquet").selectExpr(
         "c_custkey as o_custkey", "c_mktsegment"
     )
     bucketed.write_bucketed(o, t_orders, "o_custkey", buckets=8)
@@ -357,7 +357,7 @@ def rollup_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE pass (Spark expands grouping sets inside a single shuffle; the
     alternative of unioning three aggregations scans the fact table
     three times).  DECIMAL sums keep every level bit-exact."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_split(spark, f"{sf_dir}/lineitem.parquet")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr(
@@ -383,8 +383,8 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, rolled up per segment.  The semi form never duplicates the
     left side however many orders match — the dedup-free existence
     check a naive inner-join + distinct pays a shuffle for."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    c = read_split(spark, f"{sf_dir}/customer.parquet")
+    o = read_split(spark, f"{sf_dir}/orders.parquet").filter(
         "o_totalprice > 150000.0"
     )
     kept = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
@@ -408,7 +408,7 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group via ranking window (deterministic tie-break)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = read_split(spark, f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
@@ -452,7 +452,7 @@ GROUP BY user_id, session_id
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag-gap detection + running-sum session ids
     (30-minute gap) — lag/cumsum windows (SURVEY.md §2.5 family)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "user_id", "event_id", "unix_timestamp(ts) as tsec"
     )
     w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
@@ -492,7 +492,7 @@ GROUP BY 1, 2
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows (batch twin of the streaming
     windowed rollup in streaming/stream.py)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     return (
         ev.selectExpr(
             "unix_timestamp(ts) - (unix_timestamp(ts) % 3600)"
@@ -530,7 +530,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-stage re-combination is exact."""
     from ionex_spark.operators import skew
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "event_id as id",
         "event_type",
         "cast(value as decimal(18,6)) as value_d",
@@ -922,7 +922,7 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     count restores the textbook median for both parities
     (tests/test_spark_ops.py::test_median_odd_even_groups pins
     hand-computed medians for a 3-row and a 4-row group)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -1042,7 +1042,7 @@ def temporal_interp_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_points",
-    priority=50,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 q AS (SELECT id AS qid, lat AS q_lat, lon AS q_lon FROM pts
@@ -1448,7 +1448,7 @@ def user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic + rollup — one window exchange keyed by user, then the
     group-by reuses the same partitioning (Catalyst elides the second
     shuffle)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id"
     )
     pts = event_points(spark, sf_dir)
@@ -1632,7 +1632,7 @@ def quartiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle for even n rather than averaging).  One window shuffle,
     conditional-aggregation extract — adding more quantiles costs zero
     extra passes."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_split(spark, f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -1723,17 +1723,17 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Revenue = price*(1-discount) cast to DECIMAL(18,4): both factors
     carry <=2 decimals, so the 4dp cast recovers the EXACT product and
     the sum is order-independent."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = read_split(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = read_split(spark, f"{sf_dir}/orders.parquet").filter(
         "o_orderdate >= timestamp '1996-01-01 00:00:00'"
         " and o_orderdate < timestamp '1997-01-01 00:00:00'"
     ).select("o_orderkey", "o_custkey")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = read_split(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey"
     )
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    n = read_split(spark, f"{sf_dir}/nation.parquet").select(
         "n_nationkey", "n_name"
     )
     j = (
@@ -1827,7 +1827,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the previous stage; all stage tables are user-grained (small), so
     the chain is broadcast-friendly and the events table is scanned
     ONCE per stage predicate with the aggregation pushed map-side."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "user_id", "event_type", "unix_timestamp(ts) as tsec"
     )
     s1 = ev.filter("event_type = 'view'").groupBy("user_id").agg(
@@ -1977,7 +1977,7 @@ def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is hard evidence for the streaming semantics.  Equi-join on
     user plus a two-sided time predicate; both sides are event-grained
     projections of one scan."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "user_id", "event_id", "event_type", "unix_timestamp(ts) as tsec"
     )
     v = ev.filter("event_type = 'view'").selectExpr(
@@ -2066,7 +2066,7 @@ def alt_interp_trilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free 100 TB shape as the 2-D flagship."""
     from ionex_spark.operators import spatial
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    ev = read_split(spark, f"{sf_dir}/events.parquet").select("event_id")
     pts = ev.selectExpr(
         "event_id as id",
         f"{sqlgen.lat_from_id_sql('event_id')} as lat",
@@ -2112,7 +2112,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-exact."""
     from ionex_spark.operators import skew
 
-    facts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+    facts = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
         "event_id",
         "case when event_id % 10 < 9 then cast(0 as bigint)"
         " else event_id % 50 end as k",
@@ -2134,7 +2134,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_points_metrics",
-    priority=100,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 qm AS (
@@ -2214,7 +2214,7 @@ def knn_points_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_points_adaptive",
-    priority=100,
+    priority=100,  # r7: plan restructured (see NEW_THIS_ROUND)
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 cd AS (
