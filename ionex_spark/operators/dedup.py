@@ -342,17 +342,21 @@ def connected_components(
         pairs.selectExpr("id_b as src", "id_a as dst")
     )
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
-    labels = labels.localCheckpoint(eager=True)
     # iteration shuffle width sized to the graph, not the session: on a
     # tiny verified-pair graph full-width rounds are pure fixed overhead
-    # (the star variant's measurement); a huge graph keeps full width
-    spark = labels.sparkSession
+    # (the star variant's measurement); a huge graph keeps full width.
+    # The initial labels frame is repartitioned to that width BEFORE its
+    # checkpoint too (round 7): it otherwise inherits the input scan's
+    # partitioning and every first-round stage pays those tasks.
+    spark = sym.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    labels = nodes.selectExpr(f"{id_col} as node", f"{id_col} as label")
+    n_nodes = labels.count()
     parts = max(
         1,
-        min(default_parts, (sym.count() + labels.count()) // 500_000 + 1),
+        min(default_parts, (sym.count() + n_nodes) // 500_000 + 1),
     )
+    labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
     # Convergence check: for INTEGRAL ids, labels only ever DECREASE, so
     # sum(label) is strictly decreasing until the fixpoint — one cheap
     # aggregate per round on the already-checkpointed frame.  The shortcut

@@ -72,13 +72,26 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy(node_col).agg(F.count(F.lit(1)).alias("deg"))
-    out_edges = e.join(deg, node_col).localCheckpoint(eager=True)
-    n_edges = out_edges.count()
+    n_edges = e.count()
 
     spark = nodes.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(default_parts, n_edges // 500_000 + 1))
+
+    # iteration frames repartitioned to the EDGE-DERIVED width before
+    # checkpointing (round 7): the checkpointed RDDs otherwise inherit
+    # the input's partition count (e.g. 32 near-empty partitions for a
+    # 500-node fixture graph), and every one of the ~n_iter * 3 stages
+    # downstream pays that many tasks — per-round fixed overhead
+    # dominated the measured runtime.  Both sides hash-partitioned on
+    # the node key also lets each round's ranks-x-edges join reuse the
+    # partitioning instead of exchanging (guide §2.2/§2.4).
+    deg = e.groupBy(node_col).agg(F.count(F.lit(1)).alias("deg"))
+    out_edges = (
+        e.join(deg, node_col)
+        .repartition(parts, node_col)
+        .localCheckpoint(eager=True)
+    )
 
     # overflow guard (ADVICE r5): damping * contrib must fit int64, and
     # contrib is bounded only by total mass (star graphs funnel it all
@@ -94,13 +107,17 @@ def pagerank_int(
 
     base = ((PPM - damping_ppm) * init_rank) // PPM
     dangling = (
-        nodes.join(deg, node_col, "left_anti").localCheckpoint(eager=True)
+        nodes.join(deg, node_col, "left_anti")
+        .repartition(parts, node_col)
+        .localCheckpoint(eager=True)
         if redistribute_dangling
         else None
     )
-    ranks = nodes.selectExpr(
-        node_col, f"cast({init_rank} as bigint) as rank"
-    ).localCheckpoint(eager=True)
+    ranks = (
+        nodes.selectExpr(node_col, f"cast({init_rank} as bigint) as rank")
+        .repartition(parts, node_col)
+        .localCheckpoint(eager=True)
+    )
     for it in range(n_iter):
         contrib = (
             ranks.join(out_edges, node_col)
@@ -109,27 +126,39 @@ def pagerank_int(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        update = ranks.select(node_col).join(
+            contrib.withColumnRenamed("dst", node_col), node_col, "left"
+        )
         if redistribute_dangling:
-            # one scalar aggregate per round: the dangling share is a
-            # per-node constant, so it rides in the expression instead
-            # of a join (all integer, merge-order-independent)
-            dmass = (
+            # the per-round dangling mass is a 1-row integer aggregate;
+            # ride it into the SAME job as a broadcast cross join
+            # instead of a driver collect() per round (round 7; guide
+            # §5 "the driver should do almost no data work") — the old
+            # collect was an extra job per round that also re-evaluated
+            # the uncheckpointed ranks lineage.  Integer div of a
+            # non-negative sum == the old Python // — bit-identical.
+            dm = (
                 ranks.join(dangling, node_col)
-                .agg(F.sum("rank")).collect()[0][0]
-            ) or 0
-            dshare = dmass // n_nodes
-        else:
-            dshare = 0
-        ranks = (
-            ranks.select(node_col)
-            .join(contrib.withColumnRenamed("dst", node_col), node_col, "left")
-            .selectExpr(
+                .agg(F.sum("rank").alias("dmass"))
+            )
+            ranks = update.crossJoin(F.broadcast(dm)).selectExpr(
                 node_col,
                 f"cast({base} + ({damping_ppm}"
-                f" * (coalesce(contrib, 0) + {dshare}))"
+                f" * (coalesce(contrib, 0)"
+                f"    + (coalesce(dmass, 0) div {n_nodes})))"
                 f" div {PPM} as bigint) as rank",
             )
-        )
-        if it % 2 == 1 or it == n_iter - 1:
+            # ranks feeds THREE subtrees per round here (contrib, dmass,
+            # the update join) — checkpoint every round so each is a
+            # read, not a recompute
             ranks = ranks.localCheckpoint(eager=True)
+        else:
+            ranks = update.selectExpr(
+                node_col,
+                f"cast({base} + ({damping_ppm}"
+                f" * coalesce(contrib, 0))"
+                f" div {PPM} as bigint) as rank",
+            )
+            if it % 2 == 1 or it == n_iter - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks

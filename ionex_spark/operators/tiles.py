@@ -58,6 +58,13 @@ def compact_cells(
         F.col(lat_col).alias("lat_i"), F.col(lon_col).alias("lon_i")
     ).dropDuplicates(["lat_i", "lon_i"])
     for res in range(res_from, res_to, -1):
+        # cur feeds BOTH the parent count and the remainder anti-join
+        # (and, transitively, every deeper level): materialize it once
+        # per level (eager localCheckpoint) so the upstream pipeline —
+        # for a polygon cover, the whole polyfill PIP join — is not
+        # re-evaluated 2x per level (guide §2.4; cell sets are tiny by
+        # this operator's purpose)
+        cur = cur.localCheckpoint(eager=True)
         parents = (
             cur.selectExpr(
                 "cast(floor(lat_i / 2) as bigint) as p_lat",

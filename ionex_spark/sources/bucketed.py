@@ -104,7 +104,16 @@ def write_bucketed(
                 shutil.rmtree(loc)
     except Exception:
         pass
-    w = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    # hash-repartition to the bucket count FIRST: bucketBy writes one
+    # file per (input partition x non-empty bucket), so an N-partition
+    # input yields up to N*buckets small files; repartitioning on the
+    # bucket key (same Murmur3 hash as the bucket assignment) makes each
+    # task own exactly one bucket -> `buckets` well-sized files (guide
+    # §6 "small files hurt twice"; layout-only, results unchanged)
+    w = (
+        df.repartition(buckets, key)
+        .write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    )
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)

@@ -77,11 +77,23 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def read_ionex(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed IONEX scan -> tec_points DataFrame (one task per file)."""
-    files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(
-        _parse_batches, TEC_POINTS_SCHEMA
+    """Distributed IONEX scan -> tec_points DataFrame.
+
+    ``binaryFile`` PACKS small files into shared splits (128 MB default),
+    so a 64-file day corpus of ~80 KB gzips lands in 1-2 scan partitions
+    and the Python parser runs on 1-2 cores of 32.  When that happens,
+    redistribute the (path, content) rows round-robin BEFORE the parser —
+    the shuffle moves only the raw file bytes once, and the parse stage
+    becomes embarrassingly parallel again (guide §2.5 input-skew fix,
+    §4: pass only the columns the function needs).  At production file
+    counts the scan already yields >= cores splits and this is a no-op."""
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
     )
+    target = spark.sparkContext.defaultParallelism
+    if files.rdd.getNumPartitions() < target:
+        files = files.repartition(target)
+    return files.mapInPandas(_parse_batches, TEC_POINTS_SCHEMA)
 
 
 def read_header(path: str) -> IonexHeader:
