@@ -960,9 +960,25 @@ def group_representatives(
     Output: (group_id, n_members, rep_id, rep_score_fp)."""
     m = 1 << REP_PACK_BITS
     j = members.join(scored, id_col)
+    # ADVICE r6: validate the documented pack preconditions at runtime —
+    # a negative score or an over-range id would silently overflow the
+    # packed int64 and elect a garbage representative.  raise_error in
+    # the projection fails the job loudly instead (same idiom as the
+    # shard checksum guard); for in-range inputs the branch is
+    # constant-folded-cheap and the output is unchanged.
+    guard = (
+        f"case when {score_col} < 0 or {score_col} >= {1 << (63 - REP_PACK_BITS)}"
+        f" or {id_col} < 0 or {id_col} >= {m}"
+        f" then raise_error(concat('group_representatives pack overflow: '"
+        f", 'score_fp=', cast({score_col} as string)"
+        f", ' id=', cast({id_col} as string)"
+        f", ' (need 0 <= score_fp < 2^{63 - REP_PACK_BITS},"
+        f" 0 <= id < 2^{REP_PACK_BITS})'))"
+        f" else {score_col} end"
+    )
     packed = j.selectExpr(
         f"{group_col} as group_id",
-        f"{score_col} * cast({m} as bigint)"
+        f"({guard}) * cast({m} as bigint)"
         f" + (cast({m} as bigint) - 1 - {id_col}) as _packed",
     )
     agg = packed.groupBy("group_id").agg(
@@ -1005,7 +1021,12 @@ def incremental_dedup(
     Output: one row per increment doc — (id, bloom_candidate, is_dup);
     is_dup = 1 implies bloom_candidate = 1; survivors are
     `is_dup = 0`."""
-    from ionex_spark.operators.sketch import bloom_build, bloom_membership
+    from ionex_spark.operators.sketch import (
+        bloom_build,
+        bloom_collect_words,
+        bloom_membership,
+        bloom_membership_expr,
+    )
 
     chash = f"md5({text_col})"
     corpus_hashes = corpus.selectExpr(f"{chash} as chash").dropDuplicates(
@@ -1015,21 +1036,39 @@ def incremental_dedup(
     probes = increment.selectExpr(
         f"{id_col} as probe_id", f"{chash} as chash"
     )
-    member = bloom_membership(
-        probes, bloom, "chash", m_bits, k, backend, id_col="probe_id"
-    )
+    # membership as a NARROW projection over the inlined bitmap literal
+    # when the filter is expression-sized (round 7): the bitmap is
+    # constant-size by construction, so collecting its m/64 words is an
+    # O(m) driver transfer — and the probe side then pays zero joins and
+    # zero aggregation for the test (the old explode+broadcast-join+
+    # groupBy shape re-evaluated the probe scan per consumer on top).
+    # Very large filters (> 64k words = 512 KB of literal) keep the
+    # broadcast-join path — plan size, not data size, is the limit.
+    if m_bits <= 64 * 65536:
+        words = bloom_collect_words(bloom, m_bits)
+        # narrow projection — its two consumers (verify filter, output
+        # join) just recompute the k hashes, cheaper than a barrier
+        member = probes.selectExpr(
+            "probe_id",
+            "chash",
+            f"{bloom_membership_expr(words, 'chash', m_bits, k, backend)}"
+            " as maybe_present",
+        )
+    else:
+        mm = bloom_membership(
+            probes, bloom, "chash", m_bits, k, backend, id_col="probe_id"
+        )
+        member = probes.join(mm, "probe_id").localCheckpoint(eager=True)
     # NO broadcast hint on the verify join: at 100 TB the corpus-hash
     # side is the big one — it shuffles on chash once while the
     # candidate side is already bloom-shrunk; AQE may still broadcast
     # at small scale on its own
-    cand = probes.join(member, "probe_id").filter("maybe_present = 1")
+    cand = member.filter("maybe_present = 1")
     dups = cand.join(corpus_hashes, "chash", "left_semi").selectExpr(
         "probe_id", "1 as _dup"
     )
     return (
-        probes.select("probe_id")
-        .join(member, "probe_id")
-        .join(dups, "probe_id", "left")
+        member.join(dups, "probe_id", "left")
         .selectExpr(
             f"probe_id as {id_col}",
             "maybe_present as bloom_candidate",

@@ -117,7 +117,13 @@ def audit_sample_files(
     file subsets), and read only those.  Files are id-range shards of a
     generator keyed on id, so a file subset is an unbiased content
     sample; unselected files cost zero IO.  Returns the DataFrame over
-    the selected files only."""
+    the selected files only.
+
+    Pick count is ``max(1, round(fraction * n_files))`` — nearest-file
+    to the requested fraction, floored at one file (ADVICE r6: at 149
+    files and fraction=0.01 this audits 1 file, i.e. the realized
+    fraction can sit slightly below the requested one; callers needing
+    an at-least guarantee should pass a fraction of ceil(n)/n_files)."""
     import zlib
 
     # list via the JVM filesystem API so the same code works on hdfs/s3

@@ -124,10 +124,24 @@ def mixture_thresholds(
                 f" {w} ppm target without upsampling"
             )
     c = min(counts[d] * PPM // w for d, w in weights_ppm.items())
-    return {
+    thr = {
         d: HASH_GATE * c * w // (PPM * counts[d])
         for d, w in weights_ppm.items()
     }
+    # ADVICE r6: a positively-weighted domain whose derived keep
+    # fraction floors below 1/HASH_GATE would silently contribute ZERO
+    # rows (e.g. counts={a:1e6, b:1e6}, weights={a:999999, b:1}) —
+    # exactly the mixture skew the no-rows guard above exists to stop.
+    # Raise instead of emitting a silently-wrong mixture.
+    starved = [d for d, t in thr.items() if t == 0]
+    if starved:
+        raise ValueError(
+            f"mixture threshold floors to 0 for {starved!r}: their ppm"
+            f" weights are below the {HASH_GATE}-gate resolution at"
+            " these domain sizes — raise the weight, drop the domain"
+            " explicitly, or coarsen the mixture"
+        )
+    return thr
 
 
 def corpus_mixture_sample(

@@ -218,6 +218,45 @@ def bloom_probe_sql(
     return out
 
 
+def bloom_collect_words(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Collect the (word_idx, word) filter table into a dense m/64-long
+    Python list (absent words = 0).  The bitmap is CONSTANT-SIZE by
+    construction — m/64 rows regardless of corpus size (a 2 MB filter is
+    32k longs) — so this is an O(m) driver transfer, not a data collect;
+    it is what lets membership testing become a pure projection
+    (bloom_membership_expr) instead of joins."""
+    words = [0] * (m_bits // 64)
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_membership_expr(
+    words: list[int],
+    value_col: str,
+    m_bits: int,
+    k: int,
+    backend: str = "md5",
+) -> str:
+    """Membership test as ONE narrow SQL expression over an inlined
+    bitmap literal: all k bits set -> 1 else 0.  Replaces the
+    explode(k) + broadcast-join + per-probe groupBy shape — zero joins,
+    zero aggregation, stays inside whole-stage codegen (round 7; guide
+    §2.4 remove shuffles outright).  Bit-identical to the join-based
+    bloom_membership: same hash positions, same words."""
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    tests = []
+    for j in range(k):
+        p = (
+            f"pmod({token_hash_sql(value_col, BLOOM_SEED + j, backend)},"
+            f" {m_bits})"
+        )
+        word = f"element_at({arr}, cast(floor({p} / 64) as int) + 1)"
+        mask = f"shiftleft(cast(1 as bigint), cast({p} % 64 as int))"
+        tests.append(f"(({word} & {mask}) = {mask})")
+    return "cast((" + " and ".join(tests) + ") as int)"
+
+
 def bloom_membership(
     probes: DataFrame,
     bloom: DataFrame,

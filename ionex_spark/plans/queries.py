@@ -253,12 +253,54 @@ def read_split(spark: SparkSession, path: str) -> DataFrame:
     Scale-adaptive, not a local[32] constant: when the scan already
     yields at least the session's default parallelism in splits (any
     production-sized table), this is a NO-OP — no extra exchange.  The
-    explicit partition count pins the round-robin exchange against AQE
-    re-coalescing it back to one partition (tiny-bytes advisory)."""
+    explicit partition count pins the exchange against AQE re-coalescing
+    it back to one partition (tiny-bytes advisory).
+
+    Two measured refinements over the naive version:
+    - the split count is estimated from FILE SIZES (pure metadata; the
+      .rdd.getNumPartitions() probe compiles a physical plan and cost
+      ~80 ms per call — a real tax across 86 bench queries), falling
+      back to the probe off the local filesystem;
+    - the redistribution HASH-partitions on the table's leading column
+      (every table here leads with its high-cardinality integer id)
+      instead of round-robin: keyless repartition(n) first pays a
+      LOCAL SORT of its input for retry determinism (guide §2.5,
+      SPARK-23207) — a single-task sort of the whole table exactly in
+      the case this helper fires for.  A deterministic id-hash is the
+      guide's own retry-safe alternative, and measured faster on both
+      light and heavy consumers (minhash sigs 0.62 s round-robin vs
+      0.32 s id-hash)."""
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    try:
+        p = path[5:] if path.startswith("file:") else path
+        if os.path.isfile(p):
+            sizes = [os.path.getsize(p)]
+        else:
+            import glob as _glob
+
+            sizes = [
+                os.path.getsize(f)
+                for f in _glob.glob(os.path.join(p, "*.parquet"))
+            ]
+        if not sizes:
+            raise OSError(f"no parquet files under {p}")
+        maxpb = 128 * 1024 * 1024
+        try:
+            maxpb = int(
+                str(
+                    spark.conf.get(
+                        "spark.sql.files.maxPartitionBytes", str(maxpb)
+                    )
+                ).rstrip("b")
+            )
+        except ValueError:
+            pass
+        est = sum(-(-s // maxpb) for s in sizes)
+    except OSError:  # non-local fs: pay the plan-compile probe once
+        est = df.rdd.getNumPartitions()
+    if est < target:
+        df = df.repartition(target, df.columns[0])
     return df
 
 
@@ -279,8 +321,18 @@ _PTS_SQL = (
 )
 
 
-def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = read_split(spark, _t(sf_dir, "events")).select("event_id")
+def event_points(
+    spark: SparkSession, sf_dir: str, split: bool = True
+) -> DataFrame:
+    """``split=False`` keeps the plain one-split scan: queries whose
+    per-row work on the derived points is trivial (plain filters,
+    rollups) measured FASTER without the read_split exchange — the
+    fan-out only pays for itself when heavy arithmetic (HOF sorts,
+    joins, hashing) follows (round-7 per-query A/B, OPTIMIZATION_r07.md)."""
+    reader = read_split(spark, _t(sf_dir, "events")) if split else (
+        spark.read.parquet(_t(sf_dir, "events"))
+    )
+    df = reader.select("event_id")
     return df.selectExpr(
         *[f"{expr} as {name}" for name, expr in _PTS_COLS.items()]
     )
@@ -375,7 +427,7 @@ GROUP BY 1
 def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical tile rollup: encode at res 6, roll up to parent res 4,
     count per parent — the raster-side aggregation path."""
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     enc = pts.withColumn(
         "cell6", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
     ).withColumn("cell4", F.expr(sqlgen.cell_parent_sql("cell6", 6, 4)))
@@ -481,7 +533,7 @@ def roi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROI reduction: rect containment filter + per-cell count — mirrors
     to_regional_ionex's (-30..30)^2 fixture (src/lib.rs:621-656,
     src/tests/roi.rs)."""
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     roi = pts.filter(
         (F.col("lat") >= -30.0) & (F.col("lat") <= 30.0)
         & (F.col("lon") >= -30.0) & (F.col("lon") <= 30.0)

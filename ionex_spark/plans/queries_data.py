@@ -35,7 +35,7 @@ GROUP BY 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.exact_dedup(docs)
 
 
@@ -408,7 +408,7 @@ SELECT query_id, rank, vec_id, bucket, cos_sim FROM (
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: deterministic integer hyperplanes, sign-bit
     bucket, cosine ranking within bucket only — the 100 TB scale path."""
-    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter("vec_id % 100 = 0")
     out = sim.lsh_bucket_topk(
         emb, queries, k=5, n_planes=LSH_PLANES, dim=EMB_DIM
@@ -1250,7 +1250,7 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row oracle-exact where batch dropDuplicates would not be."""
     from pyspark.sql.window import Window
 
-    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "event_id", "user_id", "event_type", "unix_timestamp(ts) as tsec"
     )
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -1360,7 +1360,7 @@ def distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_spark_ops.py."""
     from ionex_spark.operators.sketch import kmv_distinct
 
-    ev = read_split(spark, f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return kmv_distinct(ev, ["event_type"], "user_id", k=64)
 
 
@@ -1741,7 +1741,7 @@ def schema_evolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract).  The oracle recomputes the same union from raw events,
     so a wrong id mapping (dropped rows, mis-bound columns, non-null
     ghosts) breaks the bit-exact hash."""
-    ev = read_split(spark, f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = _scratch_table("ionex_evo_")
     t.append(ev.filter("event_id % 2 = 0").select("event_id", "value"))
     t.evolve_schema(add_columns={"w": "double"}, renames={"value": "val"})
@@ -1847,7 +1847,7 @@ def histogram_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of row count (the 100 TB property)."""
     from ionex_spark.operators import sketch as sk
 
-    ev = read_split(spark, f"{sf_dir}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", "value"
     )
     bins = sk.histogram_bins(ev, ["event_type"], "value", 0.25)
@@ -1887,7 +1887,7 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper than minhash; narrow string ops + one rollup shuffle).
     Synthetic URLs derive from doc_id with scheme/case/www/query/slash
     variants that must all collapse."""
-    docs = read_split(spark, f"{sf_dir}/documents.parquet").selectExpr(
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id",
         _URL_SYNTH.replace("AS VARCHAR", "AS STRING") + " as url",
     )
@@ -1944,7 +1944,7 @@ def tile_representative_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_id; ids/scores bounded so the packing is exact."""
     from ionex_spark.operators import tiles
 
-    imgs = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
+    imgs = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "event_id",
         f"{sqlgen.cell_id_sql(sqlgen.lat_from_id_sql('event_id'), sqlgen.lon_from_id_sql('event_id'), 4)} as tile",
         "(event_id * 2654435761) % 2147483647 as phash",
@@ -2106,7 +2106,7 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches bit-for-bit while being sf-independent."""
     from ionex_spark.operators import shards as sh
 
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = sh.corpus_mixture_sample(docs, "lang", _MIX_WEIGHTS)
     return out.select("doc_id", "lang", "source", "n_chars")
 
@@ -2151,7 +2151,7 @@ def shard_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests."""
     from ionex_spark.operators import shards as sh
 
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assigned = sh.shard_assign(docs, _SHARD_TARGET)
     return sh.shard_manifest(assigned, bytes_col="n_chars")
 
@@ -2310,7 +2310,7 @@ def streaming_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver-oracled gate."""
     from ionex_spark.operators import sketch as sk
 
-    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "event_type",
         "cast(floor(unix_timestamp(ts) / 3600) as bigint) as wslot",
         "value",
@@ -2424,7 +2424,7 @@ def shard_bytes_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (per-bucket byte subtotals -> exact global running sum).  The
     oracle replays the same greedy fill with one global window —
     different plan shape, bit-identical manifests."""
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assigned = _sh.shard_assign_bytes(docs, _SHARD_BYTES_TARGET)
     return _sh.shard_manifest(assigned, bytes_col="n_chars").select(
         "shard_id", "n_rows", "n_bytes", "content_hash"
@@ -2564,7 +2564,7 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bloom_candidate (including any false positives, which are part
     of the deterministic md5 construction) AND the exact is_dup truth
     must both match bit-for-bit."""
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     inc = docs.filter("doc_id % 5 = 0").selectExpr(
         "doc_id + 100000 as doc_id", "text"
     ).unionByName(
@@ -2630,7 +2630,7 @@ def mixture_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate in SQL end-to-end."""
     from ionex_spark.operators import shards as sh_ops
 
-    docs = read_split(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     strat = docs.withColumn(
         "stratum",
         F.expr(_CURR_STRATUM.format(q=tx.quality_score_sql("text"))),
@@ -2790,7 +2790,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.embedding_group_stats) — the per-domain drift monitor
     for embedding-space distribution shifts between crawls; integer
     sums make an iterative-float-family aggregate bit-oracle-able."""
-    emb = read_split(spark, f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sim.embedding_group_stats(emb, group_col="label")
 
 

@@ -383,8 +383,8 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, rolled up per segment.  The semi form never duplicates the
     left side however many orders match — the dedup-free existence
     check a naive inner-join + distinct pays a shuffle for."""
-    c = read_split(spark, f"{sf_dir}/customer.parquet")
-    o = read_split(spark, f"{sf_dir}/orders.parquet").filter(
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
         "o_totalprice > 150000.0"
     )
     kept = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
@@ -530,7 +530,7 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-stage re-combination is exact."""
     from ionex_spark.operators import skew
 
-    ev = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "event_id as id",
         "event_type",
         "cast(value as decimal(18,6)) as value_d",
@@ -591,7 +591,7 @@ def tile_kring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with cell_rollup's parent rollup for the north_star's cell
     algebra (encode / parent / neighbors).  Broadcast offsets explode +
     one groupBy: the standard skew-safe shape."""
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     enc = pts.selectExpr(
         "id", f"{sqlgen.cell_id_sql('lat', 'lon', _KRES)} as cell6"
     )
@@ -864,7 +864,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the point side stays unshuffled); only the per-window rollup
     exchanges.  Distinct from as-of bracketing (asof_irregular): a point
     may match MANY windows, or none."""
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     win = spark.range(12).selectExpr(
         "id as win_id",
         "id * 7000 as w_start",
@@ -922,7 +922,7 @@ def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     count restores the textbook median for both parities
     (tests/test_spark_ops.py::test_median_odd_even_groups pins
     hand-computed medians for a 3-row and a 4-row group)."""
-    ev = read_split(spark, f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -1310,7 +1310,7 @@ def zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle."""
     from ionex_spark.operators.tiles import morton_sql
 
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     z = morton_sql(
         sqlgen.lat_idx_sql("lat"), sqlgen.lon_idx_sql("lon"), bits=7
     )
@@ -1448,10 +1448,10 @@ def user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic + rollup — one window exchange keyed by user, then the
     group-by reuses the same partitioning (Catalyst elides the second
     shuffle)."""
-    ev = read_split(spark, f"{sf_dir}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id"
     )
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     j = ev.join(pts, ev.event_id == pts.id).select(
         "user_id", "id", "lat", "lon", "tsec"
     )
@@ -1515,7 +1515,7 @@ def tile_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join is a broadcast against the enumerated tile dimension —
     the 100 TB corpus contributes one distinct-aggregation, nothing
     else."""
-    pts = event_points(spark, sf_dir)
+    pts = event_points(spark, sf_dir, split=False)
     occupied = pts.selectExpr(
         f"{sqlgen.cell_id_sql('lat', 'lon', 5)} as cell5"
     ).dropDuplicates(["cell5"])
@@ -1632,7 +1632,7 @@ def quartiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle for even n rather than averaging).  One window shuffle,
     conditional-aggregation extract — adding more quantiles costs zero
     extra passes."""
-    ev = read_split(spark, f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -2112,7 +2112,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-exact."""
     from ionex_spark.operators import skew
 
-    facts = read_split(spark, f"{sf_dir}/events.parquet").selectExpr(
+    facts = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
         "event_id",
         "case when event_id % 10 < 9 then cast(0 as bigint)"
         " else event_id % 50 end as k",

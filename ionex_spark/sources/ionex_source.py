@@ -90,8 +90,22 @@ def read_ionex(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
-    target = spark.sparkContext.defaultParallelism
-    if files.rdd.getNumPartitions() < target:
+    # file count via a metadata-only glob (no job): the fan-out target
+    # is min(cores, n_files) — a single-file read gains nothing from 32
+    # empty partitions, a 64-file day corpus fills every core
+    jvm = spark._jvm
+    fs_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(fs_path)
+    if (
+        statuses is not None
+        and len(statuses) == 1
+        and statuses[0].isDirectory()
+    ):
+        statuses = fs.listStatus(statuses[0].getPath())
+    n_files = len(statuses) if statuses is not None else 0
+    target = min(spark.sparkContext.defaultParallelism, max(1, n_files))
+    if 1 < target and files.rdd.getNumPartitions() < target:
         files = files.repartition(target)
     return files.mapInPandas(_parse_batches, TEC_POINTS_SCHEMA)
 

@@ -397,30 +397,32 @@ def streaming_incremental_dedup(
     is_dup exact, no false negatives."""
     from pyspark.sql import functions as F
 
-    from ionex_spark.operators.sketch import bloom_build, bloom_probe_sql
+    from ionex_spark.operators.sketch import (
+        bloom_build,
+        bloom_collect_words,
+        bloom_membership_expr,
+    )
 
     chash = f"md5({text_col})"
     corpus_hashes = corpus.selectExpr(f"{chash} as chash").dropDuplicates(
         ["chash"]
     )
-    bloom = bloom_build(corpus_hashes, "chash", m_bits, k, backend).cache()
-    bloom.count()  # materialize once at query start
+    # the filter is STATIC for the query's lifetime and constant-size by
+    # construction (m/64 words): collect it ONCE at query construction
+    # and inline the membership test as a narrow expression — each
+    # micro-batch then pays zero joins for the bloom stage (round 7;
+    # previously five broadcast left-joins per batch, and before that a
+    # session-lifetime .cache() leak — ADVICE r6).
+    bloom = bloom_build(corpus_hashes, "chash", m_bits, k, backend)
+    words = bloom_collect_words(bloom, m_bits)
 
     probes = increment.selectExpr(
         f"{id_col} as probe_id", f"{chash} as chash"
     )
-    tests = []
-    for j, p in enumerate(bloom_probe_sql("chash", m_bits, k, backend)):
-        probes = probes.withColumn(f"_wi{j}", F.expr(f"({p}).word_idx"))
-        probes = probes.withColumn(f"_mk{j}", F.expr(f"({p}).mask"))
-        side = F.broadcast(
-            bloom.selectExpr(f"word_idx as _wi{j}", f"word as _w{j}")
-        )
-        probes = probes.join(side, f"_wi{j}", "left")
-        tests.append(f"((coalesce(_w{j}, 0) & _mk{j}) = _mk{j})")
     probes = probes.selectExpr(
         "probe_id", "chash",
-        f"cast({' and '.join(tests)} as int) as bloom_candidate",
+        f"{bloom_membership_expr(words, 'chash', m_bits, k, backend)}"
+        " as bloom_candidate",
     )
     verified = probes.filter("bloom_candidate = 1").join(
         corpus_hashes.withColumn("_dup", F.lit(1)), "chash", "left"

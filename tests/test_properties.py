@@ -338,15 +338,26 @@ def test_mixture_thresholds_properties(domains):
 
     counts = {d: c for d, (c, _) in domains.items()}
     weights = {d: w for d, (_, w) in domains.items()}
-    thr = mixture_thresholds(counts, weights)
 
     # (4) independent exact re-derivation
     c_exact = min(Fraction(counts[d] * 10**6, w) for d, w in weights.items())
     c_floor = int(c_exact)
+    expected = {
+        d: int(Fraction(10**4 * c_floor * w, 10**6 * counts[d]))
+        for d, w in weights.items()
+    }
+    if any(t == 0 for t in expected.values()):
+        # ADVICE r6 guard: a positively-weighted domain whose threshold
+        # floors to 0 would silently contribute zero rows — the operator
+        # must refuse instead of emitting a skewed mixture
+        import pytest
+
+        with pytest.raises(ValueError, match="floors to 0"):
+            mixture_thresholds(counts, weights)
+        return
+    thr = mixture_thresholds(counts, weights)
     for d, w in weights.items():
-        assert thr[d] == int(
-            Fraction(10**4 * c_floor * w, 10**6 * counts[d])
-        )
+        assert thr[d] == expected[d]
     # (1) never upsample
     assert all(0 <= t <= 10_000 for t in thr.values())
     # (3) composition within granularity: expected kept per domain is
