@@ -560,7 +560,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # priority 10: narrow arithmetic op; error bound pinned by pytest
 @register(
     "embedding_quantize_int8",
-    priority=10,
+    priority=100,  # r7: stranded-since-r4 promotion (verdict task #7)
     oracle=f"""
 WITH s AS (
   SELECT vec_id, embedding,
@@ -603,7 +603,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-list scans/aggregates become exchange-free (tests/test_bucketed.py
 # asserts the plan) — hence the SHARED oracle.
 # priority 10: bucketed-write variant sharing similarity_ivf's oracle
-@register("similarity_ivf_bucketed", oracle=_DUCK_IVF_SQL, priority=10)
+@register("similarity_ivf_bucketed", oracle=_DUCK_IVF_SQL, priority=100)  # r7: stranded-since-r4 promotion (verdict task #7)
 def similarity_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the corpus lists WRITTEN BUCKETED by list_id and read
     back from the table — the storage layout the 100 TB deployment uses
@@ -810,7 +810,7 @@ _BLOCKED = ("spamfarm-0.example.org", "spamfarm-2.example.org")
 # tile_coverage_gaps and exercised by the corpus-job decontam stage
 @register(
     "domain_blocklist_rollup",
-    priority=10,
+    priority=100,  # r7: stranded-since-r4 promotion (verdict task #7)
     oracle=f"""
 WITH urls AS (
   SELECT doc_id,
@@ -891,7 +891,7 @@ SELECT token, true_count, CAST(cm_est AS BIGINT) AS cm_est FROM est
 
 
 # priority 10: overestimate invariant pinned by pytest
-@register("token_countmin_sketch", oracle=_duck_cms_query(), priority=10)
+@register("token_countmin_sketch", oracle=_duck_cms_query(), priority=100)  # r7: stranded-since-r4 promotion (verdict task #7)
 def token_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over token occurrences (operators/sketch.py) —
     the brief's 'novel sketch' custom-operator family: build the

@@ -342,7 +342,7 @@ def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_pricing_levels",
-    priority=10,
+    priority=100,  # r7: stranded-since-r4 promotion (verdict task #7)
     oracle="""
 SELECT l_returnflag, l_linestatus,
        count(*) AS n,
@@ -368,7 +368,7 @@ def rollup_pricing_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_join_active_customers",
-    priority=10,
+    priority=100,  # r7: stranded-since-r4 promotion (verdict task #7)
     oracle="""
 SELECT c.c_mktsegment, count(*) AS n_customers, min(c.c_custkey) AS min_key
 FROM customer c
@@ -1659,11 +1659,10 @@ def quartiles_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "voronoi_site_rollup",
-    # priority 10 = past the driver's 50-entry window (pinned sidecar
-    # oracles are the weakest row type; the strong evidence is the
-    # unfiltered numpy argmin equality in tests/test_geo.py) — still
-    # fully check_oracle-able for manual verification.
-    priority=10,
+    # r7: stranded-since-r4 promotion (verdict task #7); the pinned
+    # sidecar oracle stays the weakest row type — the strong evidence
+    # remains the unfiltered numpy argmin equality in tests/test_geo.py
+    priority=100,
     oracle="""
 SELECT qid, n_points, min_km, max_km
 FROM '/root/repo/ionex_spark/data/voronoi_golden.parquet'
@@ -1887,9 +1886,8 @@ def _zonal_cond() -> str:
 
 @register(
     "zonal_stats_polygons",
-    # priority 10: composition of two gated pipelines (pip_polygons +
-    # tile_bilinear); past-cap but check_oracle-able
-    priority=10,
+    # r7: stranded-since-r4 promotion (verdict task #7)
+    priority=100,
     oracle=f"""
 WITH pts AS ({_PTS_SQL}),
 idx AS (
