@@ -144,17 +144,166 @@ def audit_sample_files(
     return spark.read.parquet(*ranked[:n_pick])
 
 
+def _src_pixels_components(ids: np.ndarray, w: int, h: int):
+    """Bit-exact batched decomposition of synth.image_pixels for N images
+    of one shape: the generator's sin term varies only along x with phase
+    i%7 (x 3 channels) and its cos term only along y with phase i%5, so
+    regenerating N sources needs 21 sin rows + 5 cos columns TOTAL — no
+    per-image transcendentals.  Returns (row_terms, col_terms, p7, p5,
+    base) such that plane(i, c) = (base[i,c] + row_terms[p7[i], c])[None,:]
+    + col_terms[p5[i]][:,None] reproduces image_pixels' float sums in the
+    ORIGINAL left-to-right association (bit-identical before round/clip)."""
+    from ionex_spark.core.synth import splitmix64
+
+    x = np.arange(w, dtype=np.float64)
+    y = np.arange(h, dtype=np.float64)
+    row_terms = np.empty((7, 3, w))
+    for p7 in range(7):
+        for c in range(3):
+            row_terms[p7, c] = 40.0 * np.sin(
+                2 * np.pi * (x / w + c / 3.0 + p7 / 7.0)
+            )
+    col_terms = np.empty((5, h))
+    for p5 in range(5):
+        col_terms[p5] = 40.0 * np.cos(2 * np.pi * (y / h + p5 / 5.0))
+    base = (
+        splitmix64(ids[:, None].astype(np.uint64) * np.uint64(13)
+                   + np.arange(3, dtype=np.uint64)) % np.uint64(200)
+    ).astype(np.float64)
+    return row_terms, col_terms, ids % 7, ids % 5, base
+
+
+def _sse_vs_source(dec_planes, ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Exact integer sum of squared differences per image between decoded
+    channel planes (uint8, shape (N, 3, h, w)) and the regenerated
+    generator sources.  Integer arithmetic, so the derived mse equals
+    np.mean(float64 diff**2) bit-for-bit (both are exact-int sums well
+    under 2^53 divided once by the pixel count)."""
+    row_terms, col_terms, p7, p5, base = _src_pixels_components(ids, w, h)
+    sse = np.zeros(len(ids), dtype=np.int64)
+    for c in range(3):
+        a = base[:, c, None] + row_terms[p7, c]          # (N, w)
+        plane = a[:, None, :] + col_terms[p5][:, :, None]  # (N, h, w)
+        src = np.clip(np.round(plane), 0, 255).astype(np.int16)
+        d = src - dec_planes[:, c].astype(np.int16)
+        sse += np.einsum("nhw,nhw->n", d.astype(np.int64), d.astype(np.int64))
+    return sse
+
+
+def _decode_planes_batch(payloads: list, fmt: str, w: int, h: int):
+    """Decode N same-shape payloads into (N, 3, h, w) uint8 channel
+    planes with ONE batched pipeline per group.  The dct path stacks all
+    coefficient buffers and runs the same per-8x8-block matmul kernels
+    codec.dct_decode uses (matmul broadcasts over leading axes with
+    identical per-slice results), so the decoded pixels are bit-identical
+    to row-at-a-time decoding."""
+    from ionex_spark.core.codec import _DCT8, _Q
+
+    n = len(payloads)
+    if fmt == "ppm":
+        hdr = len(b"P6\n%d %d\n255\n" % (w, h))
+        flat = np.stack([
+            np.frombuffer(p, np.uint8, h * w * 3, hdr) for p in payloads
+        ])
+        return flat.reshape(n, h, w, 3).transpose(0, 3, 1, 2)
+    if fmt != "dct":
+        raise NotImplementedError(
+            f"codec {fmt!r} requires an external image library (not in sandbox)"
+        )
+    H, W = h + ((-h) % 8), w + ((-w) % 8)
+    nb = (H // 8) * (W // 8) * 64
+    coef = np.stack([
+        np.frombuffer(p, np.int16, 3 * nb, 12) for p in payloads
+    ]).astype(np.float64).reshape(n, 3, H // 8, W // 8, 8, 8) * _Q
+    blocks = _DCT8.T @ coef @ _DCT8
+    planes = blocks.transpose(0, 1, 2, 4, 3, 5).reshape(n, 3, H, W)
+    planes = planes[:, :, :h, :w] + 128.0
+    return np.clip(np.round(planes), 0, 255).astype(np.uint8)
+
+
+def _captions_batch(ids: np.ndarray) -> list:
+    """Batched twin of synth.caption_of: one vectorized splitmix64 over
+    all (id, word-slot) pairs, then cheap string assembly."""
+    from ionex_spark.core.synth import _WORDS, splitmix64
+
+    idx = (
+        splitmix64(np.arange(3, dtype=np.uint64)
+                   + ids[:, None].astype(np.uint64) * np.uint64(7))
+        % np.uint64(20)
+    )
+    return [
+        f"caption of image {int(i)}: {_WORDS[a]} {_WORDS[b]} {_WORDS[c]}"
+        for i, (a, b, c) in zip(ids, idx)
+    ]
+
+
 def verify_payloads(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     """The input_hint per-row invariant: decoded pixels allclose vs the
     generator (PSNR >= min_psnr for lossy, inf for lossless) and caption
-    equality.  Output adds (psnr_db, payload_ok, caption_ok)."""
-    out = images.withColumn(
-        "psnr_db",
-        verify_psnr("bytes", "fmt", "w", "h", "image_id"),
-    ).withColumn("payload_ok", F.col("psnr_db") >= F.lit(min_psnr))
-    return out.withColumn(
-        "caption_ok", _caption_matches("image_id", "caption")
+    equality.  Output = the verification verdict per row: (image_id, fmt,
+    w, h, psnr_db, payload_ok, caption_ok).  The payloads (and any caller
+    join/derived columns) are NOT echoed back — payload discipline:
+    verified bytes must not ride back across the Python boundary, and a
+    verdict keyed on image_id re-attaches to anything that needs it.
+
+    One mapInArrow pass (guide §4.1/§4.2): ONLY the six payload columns
+    cross the Python boundary (an opaque map ships every column it is
+    given, so the caller's join/derived columns are projected away first
+    — measured ~0.1 s of pure serialization on the bench audit), payload
+    batches arrive as Arrow binary columns, rows are grouped by
+    (fmt, w, h) — 9 shapes x 2 codecs here — and each group decodes,
+    regenerates its generator sources and accumulates exact integer SSE
+    through single vectorized numpy pipelines.  Replaces two pandas_udf
+    evaluations whose per-row decode plus the bytes column's
+    Arrow->pandas->Arrow round-trip dominated the stage."""
+    import pyarrow as pa
+
+    src = images.select("image_id", "bytes", "fmt", "w", "h", "caption")
+    out_schema = (
+        "image_id string, fmt string, w int, h int,"
+        " psnr_db double, payload_ok boolean, caption_ok boolean"
     )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            nrows = rb.num_rows
+            col = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            ids = np.fromiter(
+                (int(s[3:]) for s in col["image_id"].to_pylist()),
+                dtype=np.int64, count=nrows,
+            )
+            fmts = col["fmt"].to_pylist()
+            ws = np.asarray(col["w"]).astype(np.int64)
+            hs = np.asarray(col["h"]).astype(np.int64)
+            payloads = col["bytes"].to_pylist()
+            psnr = np.empty(nrows, dtype=np.float64)
+            groups: dict = {}
+            for k in range(nrows):
+                groups.setdefault((fmts[k], int(ws[k]), int(hs[k])), []).append(k)
+            for (fmt, w, h), rows in groups.items():
+                rows = np.asarray(rows)
+                dec = _decode_planes_batch([payloads[k] for k in rows], fmt, w, h)
+                sse = _sse_vs_source(dec, ids[rows], w, h)
+                npix = float(h * w * 3)
+                with np.errstate(divide="ignore"):
+                    psnr[rows] = np.where(
+                        sse == 0, np.inf,
+                        10.0 * np.log10(255.0 ** 2 / (sse / npix)),
+                    )
+            cap_ok = np.fromiter(
+                (a == b for a, b in zip(_captions_batch(ids),
+                                        col["caption"].to_pylist())),
+                dtype=bool, count=nrows,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [col["image_id"], col["fmt"], col["w"], col["h"],
+                 pa.array(psnr), pa.array(psnr >= min_psnr),
+                 pa.array(cap_ok)],
+                names=["image_id", "fmt", "w", "h",
+                       "psnr_db", "payload_ok", "caption_ok"],
+            )
+
+    return src.mapInArrow(fn, out_schema)
 
 
 @F.pandas_udf(BooleanType())
