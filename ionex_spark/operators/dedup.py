@@ -341,7 +341,9 @@ def connected_components(
     sym = pairs.selectExpr("id_a as src", "id_b as dst").unionByName(
         pairs.selectExpr("id_b as src", "id_a as dst")
     )
-    sym = sym.localCheckpoint(eager=True)
+    # lazy checkpoint: the count below (needed anyway for the iteration
+    # width) is the materializing action — one job instead of two
+    sym = sym.localCheckpoint(eager=False)
     # iteration shuffle width sized to the graph, not the session: on a
     # tiny verified-pair graph full-width rounds are pure fixed overhead
     # (the star variant's measurement); a huge graph keeps full width.
@@ -356,7 +358,11 @@ def connected_components(
         1,
         min(default_parts, (sym.count() + n_nodes) // 500_000 + 1),
     )
-    labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
+    # lazy again: the prev_sum aggregate (numeric ids) or the first
+    # round's join (fallback) materializes the checkpoint in ITS job —
+    # the engine's per-round serial-job floor is the dominant cost of
+    # this operator at gate scale (guide §1.2: fix the job shape first)
+    labels = labels.repartition(parts, "node").localCheckpoint(eager=False)
     # Convergence check: for INTEGRAL ids, labels only ever DECREASE, so
     # sum(label) is strictly decreasing until the fixpoint — one cheap
     # aggregate per round on the already-checkpointed frame.  The shortcut
@@ -399,7 +405,11 @@ def connected_components(
             .repartition(parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence aggregate below is the materializing
+            # action, fusing the old checkpoint-then-sum round (2 serial
+            # jobs) into one — the removed per-round job barriers are
+            # most of this operator's cost at gate scale
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(_sum).first()[0] if numeric_ids else None
         changed = _changed(labels, new_labels, prev_sum, new_sum)
@@ -533,7 +543,9 @@ def connected_components_star(
         pairs.selectExpr("id_a as u", "id_b as v")
         .filter("u != v")
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the _sig() aggregate just below is the materializing
+        # action — one job for checkpoint + signature instead of two
+        .localCheckpoint(eager=False)
     )
 
     def _sig(e: DataFrame):
@@ -595,7 +607,8 @@ def connected_components_star(
     for rnd in range(max_iter):
         edges_new = _small_star(_large_star(edges))
         if rnd % 2 == 1:
-            edges_new = edges_new.localCheckpoint(eager=True)
+            # lazy: materialized by the _sig() aggregate on the next line
+            edges_new = edges_new.localCheckpoint(eager=False)
         cur = _sig(edges_new)
         if cur == prev:
             # checksum equality is necessary but (2^-64-improbably) not

@@ -38,6 +38,19 @@ TEC_POINTS_SCHEMA = (
 )
 
 
+# One Python-boundary row per TEC MAP, point columns as ARRAY cells:
+# the long point rows are rebuilt JVM-side by inline(arrays_zip(...)).
+# Same values, ~5000x fewer Arrow rows — the old per-point emission paid
+# pandas->Arrow row assembly AND one copy of the ~60-char src_file string
+# for each of the 8.3M points (guide §4.1: control how much crosses the
+# boundary, not just how).
+_MAP_ROWS_SCHEMA = (
+    "src_file string, epoch timestamp, alt double, exp int, "
+    "lat array<double>, lon array<double>, "
+    "tecu_q array<double>, rms_q array<double>"
+)
+
+
 def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
@@ -51,28 +64,42 @@ def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             exp_by_epoch = dict(
                 zip(np.asarray(epochs), header.exp_per_map or [])
             )
-            row_exp = np.array(
-                [exp_by_epoch.get(e, header.exponent) for e in long["epoch"]],
-                dtype=np.int32,
-            ) if exp_by_epoch else np.full(n, header.exponent, np.int32)
-            yield pd.DataFrame(
-                {
-                    "epoch": pd.to_datetime(long["epoch"]),
-                    "lat": long["lat"],
-                    "lon": long["lon"],
-                    "alt": np.full(n, header.grid.alt.start),
-                    # 9999 sentinel -> NULL (src/record/parsing.rs:146-150);
-                    # grids_to_long already NaN-masks both columns (RMS-only
-                    # points keep a NULL tecu_q, reference RMS-branch parity)
-                    "tecu_q": long["tecu_q"],
-                    "exp": row_exp,
-                    "rms_q": (
-                        long["rms_q"]
-                        if long["rms_q"] is not None
-                        else np.full(n, np.nan)
-                    ),
+            ep = np.asarray(long["epoch"])
+            rms_col = (
+                long["rms_q"]
+                if long["rms_q"] is not None
+                else np.full(n, np.nan)
+            )
+            # group the long arrays by epoch; a stable sort keeps
+            # within-map point order and handles non-contiguous epoch
+            # blocks (grids_to_long emits epoch-major, but don't assume)
+            sidx = np.argsort(ep, kind="stable")
+            ep_s = ep[sidx]
+            starts = np.flatnonzero(
+                np.r_[True, ep_s[1:] != ep_s[:-1]]
+            ) if n else np.array([], dtype=np.int64)
+            bounds = np.append(starts, n)
+            rows = []
+            for k in range(len(starts)):
+                sl = sidx[starts[k]:bounds[k + 1]]
+                e = ep_s[starts[k]]
+                rows.append({
                     "src_file": path,
-                }
+                    "epoch": pd.Timestamp(e),
+                    "alt": header.grid.alt.start,
+                    "exp": np.int32(exp_by_epoch.get(e, header.exponent)),
+                    "lat": long["lat"][sl],
+                    "lon": long["lon"][sl],
+                    # 9999 sentinel -> NULL happens JVM-side (isnan mask);
+                    # grids_to_long NaN-masks both columns (RMS-only points
+                    # keep a NULL tecu_q, reference RMS-branch parity)
+                    "tecu_q": long["tecu_q"][sl],
+                    "rms_q": rms_col[sl],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["src_file", "epoch", "alt", "exp",
+                         "lat", "lon", "tecu_q", "rms_q"],
             )
 
 
@@ -107,7 +134,22 @@ def read_ionex(spark: SparkSession, path: str) -> DataFrame:
     target = min(spark.sparkContext.defaultParallelism, max(1, n_files))
     if 1 < target and files.rdd.getNumPartitions() < target:
         files = files.repartition(target)
-    return files.mapInPandas(_parse_batches, TEC_POINTS_SCHEMA)
+    maps = files.mapInPandas(_parse_batches, _MAP_ROWS_SCHEMA)
+    # JVM-side point reconstruction: inline the zipped point arrays and
+    # NaN-mask the quantized columns back to nullable bigints (the NaN ->
+    # NULL conversion the old per-row path got from Arrow's int cast)
+    return maps.selectExpr(
+        "src_file", "epoch", "alt", "exp",
+        "inline(arrays_zip(lat, lon, tecu_q, rms_q))",
+    ).selectExpr(
+        "epoch", "lat", "lon", "alt",
+        "case when isnan(tecu_q) then cast(null as bigint)"
+        " else cast(tecu_q as bigint) end as tecu_q",
+        "exp",
+        "case when isnan(rms_q) then cast(null as bigint)"
+        " else cast(rms_q as bigint) end as rms_q",
+        "src_file",
+    )
 
 
 def read_header(path: str) -> IonexHeader:
