@@ -70,7 +70,9 @@ def pagerank_int(
         edges.selectExpr(f"src as {node_col}", "dst")
         .filter(f"{node_col} != dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the count below (needed for the iteration width anyway)
+        # is the materializing action — one job instead of two
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
 
