@@ -282,14 +282,20 @@ def verify_payloads(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
                 groups.setdefault((fmts[k], int(ws[k]), int(hs[k])), []).append(k)
             for (fmt, w, h), rows in groups.items():
                 rows = np.asarray(rows)
-                dec = _decode_planes_batch([payloads[k] for k in rows], fmt, w, h)
-                sse = _sse_vs_source(dec, ids[rows], w, h)
-                npix = float(h * w * 3)
-                with np.errstate(divide="ignore"):
-                    psnr[rows] = np.where(
-                        sse == 0, np.inf,
-                        10.0 * np.log10(255.0 ** 2 / (sse / npix)),
+                # chunk the group so peak temporaries stay bounded
+                # (~4096 64x64 images = ~50 MB per decoded plane stack)
+                for lo in range(0, len(rows), 4096):
+                    sel = rows[lo:lo + 4096]
+                    dec = _decode_planes_batch(
+                        [payloads[k] for k in sel], fmt, w, h
                     )
+                    sse = _sse_vs_source(dec, ids[sel], w, h)
+                    npix = float(h * w * 3)
+                    with np.errstate(divide="ignore"):
+                        psnr[sel] = np.where(
+                            sse == 0, np.inf,
+                            10.0 * np.log10(255.0 ** 2 / (sse / npix)),
+                        )
             cap_ok = np.fromiter(
                 (a == b for a, b in zip(_captions_batch(ids),
                                         col["caption"].to_pylist())),
