@@ -137,10 +137,75 @@ def exp_knn(spark) -> None:
     )
 
 
+def exp_verify(spark) -> None:
+    """Continuation-session decomposition of the images_e2e verify
+    branch: where the old two-pandas_udf stage's time actually went
+    (Arrow transfer of the bytes column, not UDF compute), and the
+    batched mapInArrow verify's cost on the same input."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from bench import IMAGES_PATH, ensure_images
+    from ionex_spark.functions import sqlgen
+    from ionex_spark.operators import multimodal as mm
+    from ionex_spark.operators import spatial
+
+    ensure_images(spark)
+    cells = spatial.build_tec_cells(spark)
+
+    def sj():
+        s = mm.audit_sample_files(spark, IMAGES_PATH, 0.01).repartition(
+            CPUS * 2
+        )
+        return spatial.spatial_join_bilinear(s, cells).withColumn(
+            "tile_id", F.expr(sqlgen.cell_id_sql("lat", "lon", 6))
+        )
+
+    def count_fn(batches):
+        n = 0
+        for rb in batches:
+            n += rb.num_rows
+        yield pa.RecordBatch.from_arrays([pa.array([float(n)])], names=["n"])
+
+    timed("verify: join only (noop)", lambda: _noop(sj()))
+    timed(
+        "verify: + mapInArrow passthrough, meta cols only",
+        lambda: sj().select("image_id", "fmt", "w", "h", "caption")
+        .mapInArrow(count_fn, "n double").collect(),
+    )
+    timed(
+        "verify: + mapInArrow passthrough, bytes col",
+        lambda: sj().select("bytes")
+        .mapInArrow(count_fn, "n double").collect(),
+    )
+
+    def full():
+        v = mm.verify_payloads(sj())
+        v.agg(
+            F.sum(F.expr("case when payload_ok then 0 else 1 end")),
+            F.sum(F.expr("case when caption_ok then 0 else 1 end")),
+        ).first()
+
+    timed("verify: full batched verify_payloads", full)
+
+
+def exp_ingest(spark) -> None:
+    """IONEX ingest isolation: the per-map-array Python boundary
+    (read_ionex) against the same corpus bench.py times."""
+    from bench import IONEX_PATH, ensure_ionex_files
+    from ionex_spark.sources.ionex_source import read_ionex
+
+    ensure_ionex_files()
+    timed(
+        "ionex ingest (per-map arrays + JVM inline)",
+        lambda: _noop(read_ionex(spark, IONEX_PATH + "/*.gz")),
+    )
+
+
 def main() -> None:
     from ionex_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"scan", "dedup", "knn"}
+    which = set(sys.argv[1:]) or {"scan", "dedup", "knn", "verify", "ingest"}
     spark = get_spark(
         "bench-extra", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
@@ -152,6 +217,10 @@ def main() -> None:
         exp_dedup(spark)
     if "knn" in which:
         exp_knn(spark)
+    if "verify" in which:
+        exp_verify(spark)
+    if "ingest" in which:
+        exp_ingest(spark)
     spark.stop()
 
 
